@@ -30,6 +30,11 @@ class PSIParams:
     curve_name: str = "P-256"
     bgv: bool = False
     batched: bool = False
+    # Framework extensions (not in the reference CLI): FHE ring dimension
+    # override (16384 in the reference, smaller in tests) and optional limb
+    # count override for the RNS modulus (None = noise-budget heuristic).
+    ring_dim: int = 16384
+    num_limbs: int | None = None
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,441 @@
+"""RNS-BGV scheme over uint32 limb tensors (JAX/XLA).
+
+TPU-native replacement for OpenFHE's CryptoContextBGVRNS/BFVRNS used by every
+FHE call site in the reference (e.g. BatchedFHEPSIClient.cpp:60-91 keygen,
+BatchedFHEHIPPIE.cpp:101-126 EvalMult/EvalAdd). Differences by design:
+
+ - Ciphertexts are dense uint32 tensors (..., k, L, N): k components (2, or 3
+   before relinearization), L RNS limbs (31-bit NTT-friendly primes), N ring
+   coefficients, kept permanently in NTT (evaluation) domain -- pointwise
+   VPU modmuls are the hot path, exactly what the PIE pipelines need.
+ - Encryption is *batched*: one call encrypts a whole (B, L, N) plaintext
+   stack (the reference encrypts ciphertext-by-ciphertext in a loop).
+ - Relinearization uses the RNS-CRT gadget (digits = limb residues,
+   centered): ksk[k] encrypts s^2 * g_k where g_k = 1 on limb k, 0 elsewhere,
+   so key generation adds s^2 only on the matching limb.
+ - BGV flavor: Dec(ct) = [[c0 + c1*s]_q]_t with noise t*e; multiplicative
+   depth is budgeted by limb count (params.default_num_limbs) instead of
+   modulus switching in round 1.
+
+Randomness: jax.random (threefry) keyed from the context seed -- client and
+server never need shared FHE randomness (keys travel over the wire), so
+stream stability across hosts is not required here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nested_hashing_psi_tpu.fhe.encoding import PackedEncoder
+from nested_hashing_psi_tpu.fhe.params import SchemeParams
+from nested_hashing_psi_tpu.ops.modmath import (
+    add_mod,
+    mont_mul,
+    neg_mod,
+    sub_mod,
+    to_mont,
+)
+from nested_hashing_psi_tpu.ops.ntt import NTTPlan, intt, ntt
+
+U32 = jnp.uint32
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Ciphertext:
+    """data: uint32 (..., k, L, N) in NTT domain; k = 2 (or 3 pre-relin)."""
+
+    data: jnp.ndarray
+
+    @property
+    def k(self) -> int:
+        return self.data.shape[-3]
+
+    def tree_flatten(self):
+        return (self.data,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _register_fields(cls):
+    names = tuple(cls.__dataclass_fields__)
+
+    def flatten(self):
+        return tuple(getattr(self, f) for f in names), None
+
+    def unflatten(aux, children):
+        return cls(*children)
+
+    cls.tree_flatten = flatten
+    cls.tree_unflatten = classmethod(lambda c, aux, ch: c(*ch))
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_register_fields
+@dataclass
+class SecretKey:
+    s_mont: jnp.ndarray      # (L, N) NTT domain, Montgomery form
+    s_ntt: jnp.ndarray       # (L, N) NTT domain, plain form
+
+
+@_register_fields
+@dataclass
+class PublicKey:
+    b_mont: jnp.ndarray      # (L, N) Montgomery NTT form: b = t*e - a*s
+    a_mont: jnp.ndarray      # (L, N)
+
+
+@_register_fields
+@dataclass
+class RelinKey:
+    b_mont: jnp.ndarray      # (L_dig, L, N)
+    a_mont: jnp.ndarray      # (L_dig, L, N)
+
+
+class BGVContext:
+    def __init__(self, params: SchemeParams, seed: int = 0):
+        self.params = params
+        self.n = params.ring_dim
+        self.t = params.plaintext_modulus
+        self.q_primes = params.q_primes
+        self.L = params.num_limbs
+        self.plan = NTTPlan(self.n, self.q_primes)
+        self.encoder = PackedEncoder(self.n, self.t)
+        self._key = jax.random.PRNGKey(seed)
+        self._jits: dict = {}
+
+        # Device constants, shaped (L, 1) to broadcast against (..., L, N).
+        self.p = jnp.asarray(self.plan.p_arr)
+        self.pinv = jnp.asarray(self.plan.pinv_arr)
+        self.r2 = jnp.asarray(self.plan.r2_arr)
+        t_mont = np.zeros((self.L, 1), np.uint32)
+        qk_mod_qj = np.zeros((self.L, self.L, 1), np.uint32)
+        for j, pj in enumerate(self.q_primes):
+            t_mont[j, 0] = (self.t << 32) % pj
+            for k, pk in enumerate(self.q_primes):
+                qk_mod_qj[k, j, 0] = pk % pj
+        self.t_mont = jnp.asarray(t_mont)
+        self.qk_mod_qj = jnp.asarray(qk_mod_qj)
+        self.q_half = jnp.asarray(
+            np.array([p // 2 for p in self.q_primes], np.uint32).reshape(self.L, 1)
+        )
+
+        # Host CRT-decode constants.
+        q = params.q
+        self._crt_inv = np.array(
+            [pow(q // p, -1, p) for p in self.q_primes], np.uint64
+        )
+        self._crt_qi_f = np.array([float(p) for p in self.q_primes])
+        self._crt_qhat_mod_t = [(q // p) % self.t for p in self.q_primes]
+        self._q_mod_t = q % self.t
+
+    # ------------------------------------------------------------------
+    # randomness
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _jit(self, name: str, fn):
+        """Per-context cache of coarse jitted entry points (one XLA program
+        per op instead of hundreds of eager per-op dispatches)."""
+        if name not in self._jits:
+            self._jits[name] = jax.jit(fn)
+        return self._jits[name]
+
+    def _uniform_rns(self, key, shape) -> jnp.ndarray:
+        """Uniform mod q_i, shape (..., L, N); bias ~2^-33 via 64-bit draws."""
+        hi = jax.random.bits(key, (2,) + shape, dtype=jnp.uint32)
+        lo = hi[1] % self.p
+        hi_m = mont_mul(hi[0], self.r2, self.p, self.pinv)  # hi * 2^32 mod p
+        return add_mod(hi_m, lo, self.p)
+
+    def _small_to_rns(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Signed small ints (..., N) int32 -> (..., L, N) uint32 residues."""
+        v = v[..., None, :]  # add limb axis
+        pos = v >= 0
+        mag = jnp.abs(v).astype(U32) % self.p
+        return jnp.where(pos, mag, neg_mod(mag, self.p))
+
+    def _ternary(self, key, shape) -> jnp.ndarray:
+        return jax.random.randint(key, shape, -1, 2, dtype=jnp.int32)
+
+    def _gauss(self, key, shape) -> jnp.ndarray:
+        e = jax.random.normal(key, shape) * self.params.error_std
+        return jnp.clip(jnp.round(e), -24, 24).astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    # keys
+    # ------------------------------------------------------------------
+    def keygen(self) -> tuple[SecretKey, PublicKey]:
+        return self._jit("keygen", self._keygen_impl)(self._next_key())
+
+    def _keygen_impl(self, key):
+        k_s, k_a, k_e = jax.random.split(key, 3)
+        s = self._ternary(k_s, (self.n,))
+        s_ntt = ntt(self._small_to_rns(s), self.plan)
+        s_mont = to_mont(s_ntt, self.p, self.pinv, self.r2)
+        sk = SecretKey(s_mont=s_mont, s_ntt=s_ntt)
+
+        a = self._uniform_rns(k_a, (self.L, self.n))
+        e = self._gauss(k_e, (self.n,))
+        e_ntt = ntt(self._small_to_rns(e), self.plan)
+        b = sub_mod(
+            mont_mul(e_ntt, self.t_mont, self.p, self.pinv),
+            mont_mul(a, sk.s_mont, self.p, self.pinv),
+            self.p,
+        )
+        pk = PublicKey(
+            b_mont=to_mont(b, self.p, self.pinv, self.r2),
+            a_mont=to_mont(a, self.p, self.pinv, self.r2),
+        )
+        return sk, pk
+
+    def relin_keygen(self, sk: SecretKey) -> RelinKey:
+        return self._jit("relin_keygen", self._relin_keygen_impl)(
+            sk, self._next_key()
+        )
+
+    def _relin_keygen_impl(self, sk: SecretKey, key) -> RelinKey:
+        """RNS-CRT gadget key: ksk[k] = (t*e_k - a_k*s + s^2*g_k, a_k)."""
+        L, n = self.L, self.n
+        k_a, k_e = jax.random.split(key)
+        a = self._uniform_rns(k_a, (L, L, n))
+        e = self._gauss(k_e, (L, n))
+        e_ntt = ntt(self._small_to_rns(e), self.plan)  # (L, L, n)
+        b = sub_mod(
+            mont_mul(e_ntt, self.t_mont, self.p, self.pinv),
+            mont_mul(a, sk.s_mont, self.p, self.pinv),
+            self.p,
+        )
+        s2 = mont_mul(sk.s_ntt, sk.s_mont, self.p, self.pinv)  # (L, n) plain
+        eye = jnp.eye(L, dtype=bool)[:, :, None]
+        b = jnp.where(eye, add_mod(b, s2[None], self.p), b)
+        return RelinKey(
+            b_mont=to_mont(b, self.p, self.pinv, self.r2),
+            a_mont=to_mont(a, self.p, self.pinv, self.r2),
+        )
+
+    # ------------------------------------------------------------------
+    # plaintexts
+    # ------------------------------------------------------------------
+    def make_plaintext_rns(self, slot_values) -> jnp.ndarray:
+        """Packed-encode slot values -> (B?, L, N) uint32 NTT-domain tensor."""
+        coeffs = self.encoder.encode(slot_values)
+        rns = self.encoder.to_rns(coeffs, self.q_primes)  # (..., L, n) uint64
+        return ntt(jnp.asarray(rns, U32), self.plan)
+
+    def make_plaintext_mont(self, slot_values) -> jnp.ndarray:
+        """Like make_plaintext_rns but in Montgomery form (ct x pt operand)."""
+        return to_mont(self.make_plaintext_rns(slot_values), self.p, self.pinv, self.r2)
+
+    # ------------------------------------------------------------------
+    # encryption / decryption
+    # ------------------------------------------------------------------
+    def encrypt_sk(self, m_ntt: jnp.ndarray, sk: SecretKey) -> Ciphertext:
+        """Secret-key encryption of (B?, L, N) NTT-domain plaintext(s)."""
+        return self._jit("encrypt_sk", self._encrypt_sk_impl)(
+            m_ntt, sk, self._next_key()
+        )
+
+    def _encrypt_sk_impl(self, m_ntt, sk: SecretKey, key) -> Ciphertext:
+        bshape = m_ntt.shape[:-2]
+        k_c1, k_e = jax.random.split(key)
+        c1 = self._uniform_rns(k_c1, bshape + (self.L, self.n))
+        e = self._gauss(k_e, bshape + (self.n,))
+        e_ntt = ntt(self._small_to_rns(e), self.plan)
+        c0 = sub_mod(
+            add_mod(
+                mont_mul(e_ntt, self.t_mont, self.p, self.pinv), m_ntt, self.p
+            ),
+            mont_mul(c1, sk.s_mont, self.p, self.pinv),
+            self.p,
+        )
+        return Ciphertext(jnp.stack([c0, c1], axis=-3))
+
+    def encrypt_pk(self, m_ntt: jnp.ndarray, pk: PublicKey) -> Ciphertext:
+        return self._jit("encrypt_pk", self._encrypt_pk_impl)(
+            m_ntt, pk, self._next_key()
+        )
+
+    def _encrypt_pk_impl(self, m_ntt, pk: PublicKey, key) -> Ciphertext:
+        bshape = m_ntt.shape[:-2]
+        k_u, k_e0, k_e1 = jax.random.split(key, 3)
+        u = self._ternary(k_u, bshape + (self.n,))
+        u_ntt = ntt(self._small_to_rns(u), self.plan)
+        e0 = self._gauss(k_e0, bshape + (self.n,))
+        e1 = self._gauss(k_e1, bshape + (self.n,))
+        e0_ntt = ntt(self._small_to_rns(e0), self.plan)
+        e1_ntt = ntt(self._small_to_rns(e1), self.plan)
+        c0 = add_mod(
+            add_mod(
+                mont_mul(u_ntt, pk.b_mont, self.p, self.pinv),
+                mont_mul(e0_ntt, self.t_mont, self.p, self.pinv),
+                self.p,
+            ),
+            m_ntt,
+            self.p,
+        )
+        c1 = add_mod(
+            mont_mul(u_ntt, pk.a_mont, self.p, self.pinv),
+            mont_mul(e1_ntt, self.t_mont, self.p, self.pinv),
+            self.p,
+        )
+        return Ciphertext(jnp.stack([c0, c1], axis=-3))
+
+    def decrypt_phase(self, ct: Ciphertext, sk: SecretKey) -> jnp.ndarray:
+        name = f"decrypt_phase{ct.data.shape[-3]}"
+        return self._jit(name, self._decrypt_phase_impl)(ct, sk)
+
+    def _decrypt_phase_impl(self, ct: Ciphertext, sk: SecretKey) -> jnp.ndarray:
+        """[c0 + c1*s (+ c2*s^2)]_q in coefficient domain: (..., L, N) uint32."""
+        d = ct.data
+        phase = add_mod(
+            d[..., 0, :, :],
+            mont_mul(d[..., 1, :, :], sk.s_mont, self.p, self.pinv),
+            self.p,
+        )
+        if d.shape[-3] == 3:
+            c2s = mont_mul(d[..., 2, :, :], sk.s_mont, self.p, self.pinv)
+            phase = add_mod(
+                phase, mont_mul(c2s, sk.s_mont, self.p, self.pinv), self.p
+            )
+        return intt(phase, self.plan)
+
+    def decrypt(self, ct: Ciphertext, sk: SecretKey, length: int | None = None):
+        """Full decrypt to slot values in [0, t). Returns (slots, noise_bits)."""
+        phase = np.asarray(self.decrypt_phase(ct, sk), dtype=np.uint64)
+        coeffs, noise_bits = self._phase_to_mt(phase)
+        slots = self.encoder.decode(coeffs, length)
+        return slots, noise_bits
+
+    def noise_bits_exact(self, ct: Ciphertext, sk: SecretKey) -> float:
+        """Exact log2 |[phase]_q| via host CRT (tests/diagnostics only).
+
+        The cheap estimate returned by decrypt() floors at ~log2(q) - 51
+        (float64 resolution); this one is exact but slow.
+        """
+        phase = np.asarray(self.decrypt_phase(ct, sk), dtype=np.uint64)
+        flat = phase.reshape(-1, self.L, self.n)
+        q = self.params.q
+        worst = 0
+        from nested_hashing_psi_tpu.ops.primes import centered, crt_reconstruct
+
+        for b in range(flat.shape[0]):
+            for j in range(self.n):
+                x = crt_reconstruct(
+                    [int(flat[b, i, j]) for i in range(self.L)], list(self.q_primes)
+                )
+                worst = max(worst, abs(centered(x, q)))
+        return float(int(worst).bit_length())
+
+    def _phase_to_mt(self, phase: np.ndarray):
+        """Exact [x]_q mod t from RNS residues (..., L, N), plus noise size.
+
+        x = sum_i y_i*(q/q_i) - k*q with y_i = [x_i * (q/q_i)^-1]_{q_i} and
+        k = round(sum_i y_i/q_i); float64 rounding is safe while the noise
+        budget holds (|x| << q/2).
+        """
+        y = (phase * self._crt_inv.reshape(-1, 1)) % np.array(
+            self.q_primes, np.uint64
+        ).reshape(-1, 1)
+        v = (y.astype(np.float64) / self._crt_qi_f.reshape(-1, 1)).sum(axis=-2)
+        k = np.round(v).astype(np.int64)
+        frac = np.abs(v - k)
+        max_frac = float(frac.max()) if frac.size else 0.0
+        noise_bits = (
+            np.log2(max_frac) + self.params.q.bit_length() if max_frac > 0 else 0.0
+        )
+        t = self.t
+        if t < 2**33 and max(self.q_primes) < 2**31:
+            acc = np.zeros(y.shape[:-2] + y.shape[-1:], dtype=np.uint64)
+            for i in range(self.L):
+                acc = (acc + y[..., i, :] * np.uint64(self._crt_qhat_mod_t[i] % t)) % np.uint64(t)
+            kb = (k.astype(object) * (self._q_mod_t)) % t
+            m = (acc.astype(object) - kb) % t
+            return m.astype(object), noise_bits
+        # big-t fallback: exact object arithmetic
+        acc = np.zeros(y.shape[:-2] + y.shape[-1:], dtype=object)
+        for i in range(self.L):
+            acc = (acc + y[..., i, :].astype(object) * self._crt_qhat_mod_t[i]) % t
+        m = (acc - k.astype(object) * self._q_mod_t) % t
+        return m, noise_bits
+
+    # ------------------------------------------------------------------
+    # homomorphic ops (pure, jit-composable)
+    # ------------------------------------------------------------------
+    def ct_add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._jit("ct_add", lambda x, y: Ciphertext(add_mod(x.data, y.data, self.p)))(a, b)
+
+    def ct_pt_mul(self, ct: Ciphertext, pt_mont: jnp.ndarray) -> Ciphertext:
+        """ct x packed plaintext (Montgomery NTT form, (B?, L, N))."""
+        return self._jit(
+            "ct_pt_mul",
+            lambda c, m: Ciphertext(
+                mont_mul(c.data, m[..., None, :, :], self.p, self.pinv)
+            ),
+        )(ct, pt_mont)
+
+    def ct_ct_mul(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._jit("ct_ct_mul", self._ct_ct_mul_impl)(a, b)
+
+    def _ct_ct_mul_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Tensor product -> 3-component ciphertext (call relinearize after)."""
+        a0, a1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
+        b0, b1 = b.data[..., 0, :, :], b.data[..., 1, :, :]
+        b0m = to_mont(b0, self.p, self.pinv, self.r2)
+        b1m = to_mont(b1, self.p, self.pinv, self.r2)
+        d0 = mont_mul(a0, b0m, self.p, self.pinv)
+        d1 = add_mod(
+            mont_mul(a0, b1m, self.p, self.pinv),
+            mont_mul(a1, b0m, self.p, self.pinv),
+            self.p,
+        )
+        d2 = mont_mul(a1, b1m, self.p, self.pinv)
+        return Ciphertext(jnp.stack([d0, d1, d2], axis=-3))
+
+    def relinearize(self, ct: Ciphertext, rlk: RelinKey) -> Ciphertext:
+        return self._jit("relinearize", self._relinearize_impl)(ct, rlk)
+
+    def _relinearize_impl(self, ct: Ciphertext, rlk: RelinKey) -> Ciphertext:
+        """3 -> 2 components via RNS-CRT gadget key switching."""
+        assert ct.data.shape[-3] == 3
+        d0 = ct.data[..., 0, :, :]
+        d1 = ct.data[..., 1, :, :]
+        d2 = ct.data[..., 2, :, :]
+        dig = self._rns_decompose(d2)  # (..., L_dig, L, N) NTT domain
+        c0, c1 = d0, d1
+        for kdig in range(self.L):
+            c0 = add_mod(
+                c0,
+                mont_mul(dig[..., kdig, :, :], rlk.b_mont[kdig], self.p, self.pinv),
+                self.p,
+            )
+            c1 = add_mod(
+                c1,
+                mont_mul(dig[..., kdig, :, :], rlk.a_mont[kdig], self.p, self.pinv),
+                self.p,
+            )
+        return Ciphertext(jnp.stack([c0, c1], axis=-3))
+
+    def ct_ct_mul_relin(self, a: Ciphertext, b: Ciphertext, rlk: RelinKey) -> Ciphertext:
+        return self.relinearize(self.ct_ct_mul(a, b), rlk)
+
+    def _rns_decompose(self, d2: jnp.ndarray) -> jnp.ndarray:
+        """(..., L, N) NTT -> centered limb digits re-reduced mod every q_j,
+        back in NTT domain: (..., L_dig, L, N)."""
+        coeffs = intt(d2, self.plan)  # (..., L, N), limb k holds [x]_{q_k}
+        dk = coeffs[..., :, None, :]              # (..., L_dig, 1, N)
+        big = dk > self.q_half[:, None, :]        # centered lift sign
+        r = dk % self.p[None, :, :]               # (..., L_dig, L, N)
+        r_neg = sub_mod(r, self.qk_mod_qj, self.p[None, :, :])
+        digits = jnp.where(big, r_neg, r)
+        return ntt(digits, self.plan)

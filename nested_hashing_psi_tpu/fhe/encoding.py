@@ -1,0 +1,115 @@
+"""SIMD packed plaintext encoding (slot packing).
+
+TPU-native replacement for OpenFHE's ``MakePackedPlaintext`` / packed decode
+(call sites: /root/reference/src/Common/Crypto/PrivateIndexedEqualityCheck/
+BatchedFHEHIPPIE.cpp:68, FHEHIPPIE.cpp:52, BatchedFHEPSIClient.cpp:155-168).
+
+For prime t with 2n | t-1 the ring Z_t[x]/(x^n+1) fully splits: the
+negacyclic NTT over Z_t is an isomorphism onto n "slots" with pointwise
+add/mult. Encoding = inverse NTT of the slot vector mod t; decoding =
+forward NTT. Slot order is this framework's NTT output order (bit-reversed)
+-- an internal convention applied consistently on encode and decode, so the
+protocol layers never observe it.
+
+Two execution paths:
+ - t < 2**31 (e.g. 65537 for 16-bit items): vectorized numpy uint64, exact.
+ - larger t (33/41/49-bit moduli): numpy object arrays (python ints) --
+   exact but slower; a C++ host kernel is the planned upgrade.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nested_hashing_psi_tpu.ops import primes as primes_mod
+from nested_hashing_psi_tpu.ops.refmodel import intt_numpy, ntt_numpy
+
+
+def _ntt_object(a: np.ndarray, p: int, psi: int, inverse: bool) -> np.ndarray:
+    """Exact NTT mod big p on object arrays (same algorithm as refmodel)."""
+    n = a.shape[-1]
+    logn = n.bit_length() - 1
+    rev = np.zeros(n, dtype=np.int64)
+    idx = np.arange(n)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    root = pow(psi, -1, p) if inverse else psi
+    tw = np.array([pow(root, int(r), p) for r in rev], dtype=object)
+    x = a.astype(object) % p
+    bshape = a.shape[:-1]
+    if not inverse:
+        m, t = 1, n
+        for _ in range(logn):
+            t //= 2
+            x = x.reshape(*bshape, m, 2, t)
+            s = tw[m:2 * m][:, None]
+            u, v = x[..., 0, :], x[..., 1, :] * s % p
+            x = np.stack([(u + v) % p, (u - v) % p], axis=-2)
+            m *= 2
+    else:
+        m, t = n, 1
+        while m > 1:
+            h = m // 2
+            x = x.reshape(*bshape, h, 2, t)
+            s = tw[h:2 * h][:, None]
+            u, v = x[..., 0, :], x[..., 1, :]
+            x = np.stack([(u + v) % p, (u - v) * s % p], axis=-2)
+            t *= 2
+            m = h
+        x = x.reshape(*bshape, n) * pow(n, -1, p) % p
+    return x.reshape(*bshape, n)
+
+
+class PackedEncoder:
+    """Slot <-> coefficient transforms mod the plaintext modulus t."""
+
+    def __init__(self, ring_dim: int, t: int):
+        assert (t - 1) % (2 * ring_dim) == 0, "t must be NTT-friendly (2n | t-1)"
+        self.n = ring_dim
+        self.t = t
+        self.psi = primes_mod.primitive_root_of_unity(t, 2 * ring_dim)
+        self.small = t < 2**31
+
+    def encode(self, values) -> np.ndarray:
+        """Slot values (len <= n, ints; negatives allowed) -> coeffs in [0,t).
+
+        Accepts (..., m) arrays or lists; pads slots beyond m with zeros.
+        """
+        v = np.asarray(values, dtype=object)
+        if v.ndim == 1:
+            v = v[None, :]
+        batch, m = v.shape[0], v.shape[-1]
+        assert m <= self.n
+        slots = np.zeros((batch, self.n), dtype=object)
+        slots[:, :m] = v
+        slots = slots % self.t
+        if self.small:
+            coeffs = intt_numpy(slots.astype(np.uint64), self.t, self.psi)
+        else:
+            coeffs = _ntt_object(slots, self.t, self.psi, inverse=True)
+        return coeffs if np.asarray(values).ndim > 1 else coeffs[0]
+
+    def decode(self, coeffs: np.ndarray, length: int | None = None) -> np.ndarray:
+        """Coeffs in [0,t) -> slot values in [0,t) (first `length` slots)."""
+        c = np.asarray(coeffs)
+        one_d = c.ndim == 1
+        if one_d:
+            c = c[None, :]
+        if self.small:
+            slots = ntt_numpy(c.astype(np.uint64), self.t, self.psi)
+        else:
+            slots = _ntt_object(c.astype(object), self.t, self.psi, inverse=False)
+        if length is not None:
+            slots = slots[..., :length]
+        return slots[0] if one_d else slots
+
+    def centered(self, coeffs: np.ndarray) -> np.ndarray:
+        """Lift [0,t) coefficients to centered representatives (object ints)."""
+        c = np.asarray(coeffs, dtype=object)
+        return np.where(c > self.t // 2, c - self.t, c)
+
+    def to_rns(self, coeffs: np.ndarray, q_primes: tuple[int, ...]) -> np.ndarray:
+        """Centered-lift coeffs mod t, reduce mod each q_i -> (..., L, n) uint64."""
+        c = self.centered(coeffs)
+        out = np.stack([(c % p).astype(np.uint64) for p in q_primes], axis=-2)
+        return out

@@ -1,0 +1,128 @@
+"""FHE parameter generation.
+
+Reproduces the reference's parameter policy
+(/root/reference/src/Client/FHE/BatchedFHEPSIClient.cpp:22-79):
+ - plaintext modulus by item bit size: {16: 2^16+1, 32: 2^32+2^20+2^19+1,
+   40: 2^40+2^22+2^20+1, 48: 2^48+2^22+2^20+1} (all NTT-friendly: 2n | t-1
+   for n = 16384),
+ - ring dimension 16384,
+ - multiplicative depth by inner cuckoo table size {<500: 3, <5000: 5,
+   else: 10},
+ - 128-bit classical security: total log2(q) <= 438 at n = 16384
+   (HEStd_128_classic table).
+
+TPU-native divergence: OpenFHE uses ~60-bit RNS limbs (native uint64); TPUs
+have no 64-bit integer datapath, so q is built from <=31-bit NTT-friendly
+primes (q_i = 1 mod 2n) held in uint32 lanes -- about twice the limb count
+for the same modulus size, each limb twice as cheap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from nested_hashing_psi_tpu.ops import primes as primes_mod
+
+PLAINTEXT_MODULI = {
+    16: 65537,
+    32: (1 << 32) + (1 << 20) + (1 << 19) + 1,
+    40: (1 << 40) + (1 << 22) + (1 << 20) + 1,
+    48: (1 << 48) + (1 << 22) + (1 << 20) + 1,
+}
+
+# HEStd_128_classic max log2(q) for power-of-two ring dims (ternary secret).
+MAX_LOG_Q_128 = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881}
+
+LIMB_BITS = 31
+
+
+def plaintext_modulus_for_bit_size(bit_size: int) -> int:
+    if bit_size not in PLAINTEXT_MODULI:
+        raise ValueError("FHE supports bit sizes 16, 32, 40 or 48")
+    return PLAINTEXT_MODULI[bit_size]
+
+
+def depth_for_cuckoo_table_size(each_cuckoo_table_size: int) -> int:
+    """Reference depth schedule (BatchedFHEPSIClient.cpp:44-57)."""
+    if each_cuckoo_table_size < 500:
+        return 3
+    if each_cuckoo_table_size < 5000:
+        return 5
+    return 10
+
+
+def default_num_limbs(t_bits: int, n_ct_mults: int, sum_len: int) -> int:
+    """Worst-case-ish BGV noise budget -> number of 31-bit limbs.
+
+    n_ct_mults: sequential ct x ct multiplications (nCuckooHF - 1 in the
+    batched PIE). sum_len: length of the ct x pt inner-product accumulation.
+    Validated empirically by tests/test_bgv.py noise-budget checks.
+    """
+    import math
+
+    logn = 14
+    fresh = t_bits + 6
+    ip = fresh + t_bits + logn + max(1, sum_len).bit_length()
+    acc = ip
+    for _ in range(max(0, n_ct_mults)):
+        acc = acc + ip + logn
+    mask = acc + t_bits + logn
+    margin = 25
+    return max(2, math.ceil((mask + margin) / LIMB_BITS))
+
+
+@dataclass(frozen=True)
+class SchemeParams:
+    """Parameters for one BGV/BFV context instance."""
+
+    ring_dim: int = 16384
+    plaintext_modulus: int = 65537
+    num_limbs: int = 8
+    error_std: float = 3.2
+    scheme: str = "bgv"
+
+    @property
+    def q_primes(self) -> tuple[int, ...]:
+        ps = primes_mod.ntt_primes(
+            self.num_limbs, LIMB_BITS, 2 * self.ring_dim,
+            avoid=(self.plaintext_modulus,),
+        )
+        return ps
+
+    @property
+    def q(self) -> int:
+        out = 1
+        for p in self.q_primes:
+            out *= p
+        return out
+
+    def validate_security(self) -> None:
+        max_bits = MAX_LOG_Q_128.get(self.ring_dim)
+        if max_bits is not None and self.q.bit_length() > max_bits:
+            raise ValueError(
+                f"log2(q) = {self.q.bit_length()} exceeds the 128-bit classical "
+                f"bound {max_bits} for ring dim {self.ring_dim}"
+            )
+
+    @classmethod
+    def for_psi(
+        cls,
+        bit_size: int,
+        each_cuckoo_table_size: int,
+        n_cuckoo_hash_functions: int,
+        ring_dim: int = 16384,
+        scheme: str = "bgv",
+    ) -> "SchemeParams":
+        t = plaintext_modulus_for_bit_size(bit_size)
+        limbs = default_num_limbs(
+            t.bit_length(), n_cuckoo_hash_functions - 1, each_cuckoo_table_size
+        )
+        p = cls(
+            ring_dim=ring_dim,
+            plaintext_modulus=t,
+            num_limbs=limbs,
+            scheme=scheme,
+        )
+        if ring_dim == 16384:
+            p.validate_security()
+        return p

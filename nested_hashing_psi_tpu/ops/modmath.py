@@ -69,6 +69,24 @@ def neg_mod(a, p):
     return jnp.where(a == 0, a, p - a)
 
 
+def modsum(x, p, axis=0):
+    """Sum mod p along `axis` via pairwise tree reduction (no 64-bit needed).
+
+    p must broadcast against x with `axis` removed (e.g. p = (L,1) against
+    x = (..., K, L, N) reduced over K).
+    """
+    x = jnp.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    while n > 1:
+        m = n // 2
+        y = add_mod(x[:m], x[m:2 * m], p)
+        if n % 2:
+            y = jnp.concatenate([add_mod(y[:1], x[-1:], p), y[1:]], axis=0)
+        x = y
+        n = m
+    return x[0]
+
+
 def to_mont(a, p, pinv, r2):
     """a -> a*R mod p, with r2 = R**2 mod p."""
     return mont_mul(a, r2, p, pinv)

@@ -1,0 +1,175 @@
+"""Batched FHE PIE: the flagship private-indexed-equality engine.
+
+Capability parity with the reference's BatchedFHEHIPPIE
+(/root/reference/src/Common/Crypto/PrivateIndexedEqualityCheck/BatchedFHEHIPPIE.cpp:9-129):
+one SIMD slot per client cuckoo position; for every server bin depth d the
+server computes, per inner hash function h,
+
+    ip[h] = sum_pos Enc(idx[h][pos]) * pt(table[h][d][pos][slot])  + Enc(-elem)
+
+then multiplies across hash functions (zero iff any hash matched -- t prime),
+and masks with per-depth random plaintexts. Client-side, slot c of any depth
+decrypting to 0 means the item in client cuckoo slot c is in the intersection.
+
+TPU-first redesign of the reference's triple loop of EvalMult/EvalAdd calls:
+ - the whole server table is one packed-plaintext tensor
+   (H, D, P, L, N) built in a single batched encode (the reference's
+   transpose at cpp:48-71 is fused into the hierarchical builder's layout),
+ - the online computation is ONE jitted XLA program: a lax.scan over bin
+   depths whose body does the position-summed ct x pt products as fused
+   VPU modmuls + tree modsum, the cross-hash ct x ct + relinearization, and
+   the mask multiply,
+ - bin-depth shuffling (output hiding, cpp:25-35) becomes a vectorized
+   depth-permutation of the dense table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, RelinKey, SecretKey
+from nested_hashing_psi_tpu.hashing.cuckoo import CuckooHashTable
+from nested_hashing_psi_tpu.hashing.hierarchical import HierarchicalCuckooHashTable
+from nested_hashing_psi_tpu.ops.modmath import add_mod, modsum, mont_mul
+
+
+class BatchedFHEPIE:
+    """Server-side engine over the whole nested table."""
+
+    def __init__(
+        self,
+        ctx: BGVContext,
+        hct: HierarchicalCuckooHashTable,
+        rlk: RelinKey,
+        mask_seed: int | None = None,
+    ):
+        if hct.server_stash_size != 0:
+            raise ValueError("batched FHE PIE does not support a stash")
+        if not (hct.simple_multi_table and hct.cuckoo_multi_table):
+            raise ValueError("batched FHE PIE does not support combined tables")
+        self.ctx = ctx
+        self.rlk = rlk
+        self.H = hct.n_cuckoo_hash_functions
+        self.D = hct.max_items_per_position
+        self.P = hct.each_cuckoo_table_size
+        self.batch_slots = hct.n_simple_tables * hct.each_simple_table_size
+
+        rng = np.random.Generator(
+            np.random.Philox(key=np.random.SeedSequence().entropy if mask_seed is None else mask_seed)
+        )
+
+        # table: (S, O, H, D, P, 2) uint64 -> shuffle depth rows per
+        # (outer cell, inner table) to hide which depth matched.
+        table = hct.table
+        S, O = table.shape[0], table.shape[1]
+        perm = np.argsort(rng.random((S, O, self.H, self.D)), axis=-1)
+        table = np.take_along_axis(table, perm[..., None, None], axis=3)
+
+        vals = table[..., 0]  # (S, O, H, D, P); FHE items are < t (<= 48 bits)
+        if table[..., 1].any():
+            raise ValueError("FHE paths support items below 64 bits only")
+        # -> slot-major: (H, D, P, batch = S*O)
+        slots = vals.transpose(2, 3, 4, 0, 1).reshape(self.H, self.D, self.P, -1)
+
+        # Batched packed-encode the whole table -> Montgomery NTT tensor.
+        flat = slots.reshape(self.H * self.D * self.P, self.batch_slots)
+        pt = ctx.make_plaintext_mont(flat.astype(object))
+        self.table_pt = pt.reshape(self.H, self.D, self.P, ctx.L, ctx.n)
+
+        # Per-depth random nonzero masks (cpp:73-82).
+        mask_vals = rng.integers(1, ctx.t, size=(self.D, self.batch_slots))
+        self.mask_pt = ctx.make_plaintext_mont(mask_vals.astype(object))
+
+        self._run = None
+
+    def run(self, index_cts: Ciphertext, minus_ct: Ciphertext) -> Ciphertext:
+        """index_cts: (H, P, 2, L, N); minus_ct: (2, L, N).
+        Returns result ciphertexts (D, 2, L, N)."""
+        if self._run is None:
+            self._run = jax.jit(self._run_impl)
+        return self._run(index_cts, minus_ct)
+
+    def _run_impl(self, index_cts: Ciphertext, minus_ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        idx = index_cts.data  # (H, P, 2, L, N)
+
+        def one_depth(_, pt_d):
+            # pt_d: (H, P, L, N) table plaintexts for this depth.
+            prod = mont_mul(idx, pt_d[:, :, None, :, :], ctx.p, ctx.pinv)
+            ip = modsum(prod, ctx.p, axis=1)  # (H, 2, L, N)
+            ip = add_mod(ip, minus_ct.data[None], ctx.p)
+            acc = Ciphertext(ip[0])
+            for h in range(1, self.H):
+                acc = ctx.ct_ct_mul_relin(acc, Ciphertext(ip[h]), self.rlk)
+            return None, acc.data
+
+        _, res = jax.lax.scan(
+            one_depth, None, self.table_pt.transpose(1, 0, 2, 3, 4)
+        )
+        # mask multiply, batched over depths
+        return ctx.ct_pt_mul(Ciphertext(res), self.mask_pt)
+
+
+@dataclass
+class BatchedFHEClientOps:
+    """Client-side batched-PIE operations: index-matrix construction and
+    result extraction (reference: BatchedFHEPSIClient.cpp:107-193)."""
+
+    ctx: BGVContext
+    client_table: CuckooHashTable
+    n_simple_hf: int
+    n_cuckoo_hf: int
+    each_cuckoo_table_size: int
+
+    def build_index_and_minus(self) -> tuple[np.ndarray, np.ndarray]:
+        """-> (plain index matrix (H, P, batch) 0/1, minus-element (batch,))
+        where batch = n_simple_tables * each_simple_table_size; empty client
+        slots contribute 0-rows and minus-element 1 (cpp:118-151)."""
+        tab = self.client_table.table  # (n_tables, 1, simple_size, 2)
+        items = tab[:, 0, :, :].reshape(-1, 2)  # (batch, 2) slot-major
+        batch = items.shape[0]
+        H, P = self.n_cuckoo_hf, self.each_cuckoo_table_size
+        occupied = (items != 0).any(axis=1)
+        minus = np.ones(batch, dtype=object)
+        vals = items[:, 0].astype(object) + (items[:, 1].astype(object) << 64)
+        for c in np.nonzero(occupied)[0]:
+            minus[c] = -int(vals[c])
+        index = np.zeros((H, P, batch), dtype=np.int64)
+        hasher = self.client_table.hasher
+        occ_items = items[occupied]
+        occ_slots = np.nonzero(occupied)[0]
+        for h in range(H):
+            pos = hasher.hash_index(occ_items, self.n_simple_hf + h, P)
+            index[h, pos, occ_slots] = 1
+        return index, minus
+
+    def encrypt_query(self, sk: SecretKey):
+        """-> (index ciphertexts (H, P, 2, L, N), minus ciphertext (2, L, N))."""
+        index, minus = self.build_index_and_minus()
+        H, P, batch = index.shape
+        pt_idx = self.ctx.make_plaintext_rns(
+            index.reshape(H * P, batch).astype(object)
+        )
+        idx_ct = self.ctx.encrypt_sk(pt_idx, sk)
+        idx_ct = Ciphertext(
+            idx_ct.data.reshape(H, P, 2, self.ctx.L, self.ctx.n)
+        )
+        minus_ct = self.ctx.encrypt_sk(self.ctx.make_plaintext_rns(minus), sk)
+        return idx_ct, minus_ct
+
+    def extract_intersection(self, result_slots: np.ndarray) -> np.ndarray:
+        """result_slots: (D, batch) decrypted values. Returns (k, 2) uint64
+        items of the intersection (slot c matches iff any depth is 0)."""
+        zero = np.zeros_like(result_slots, dtype=bool)
+        zero = np.array(
+            [[int(v) == 0 for v in row] for row in result_slots], dtype=bool
+        )
+        matched_slots = zero.any(axis=0)
+        tab = self.client_table.table[:, 0, :, :].reshape(-1, 2)
+        occupied = (tab != 0).any(axis=1)
+        sel = matched_slots[: len(tab)] & occupied
+        return tab[sel]

@@ -1,0 +1,168 @@
+"""Batched FHE PSI protocol: the headline client/server pair.
+
+Capability parity with the reference's BatchedFHEPSIClient/Server
+(/root/reference/src/Client/FHE/BatchedFHEPSIClient.cpp,
+ src/Server/FHE/BatchedFHEPSIServer.cpp):
+
+ setup   client: hashing + scheme params (plaintext modulus by bit size,
+                 depth by inner table size) + keygen + relin keys + client
+                 cuckoo table ctor; ships scheme params and keys to server.
+         server: receives params/keys; builds nested-table structure.
+ offline client: inserts its set, builds + encrypts the batched index matrix
+                 and minus-element ciphertext (one ciphertext per
+                 (cuckoo hf, inner position) + 1).
+         server: bulk-builds the nested cuckoo table and the packed
+                 plaintext tensor (BatchedFHEPIE).
+ online  client: ships the ciphertexts, receives maxPP result ciphertexts,
+                 decrypts, extracts intersection (slot zero test).
+         server: one jitted TPU pipeline (BatchedFHEPIE.run), ships results.
+
+Wire format differences (deliberate): ciphertext batches travel as single
+dense uint32 tensors instead of per-ciphertext serialized objects, and the
+"crypto context" is just (ring_dim, t, num_limbs) -- both sides derive the
+identical prime set deterministically (ops.primes.ntt_primes).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
+from nested_hashing_psi_tpu.data.input import DataInputHandler
+from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, RelinKey
+from nested_hashing_psi_tpu.fhe.params import (
+    SchemeParams,
+    default_num_limbs,
+    plaintext_modulus_for_bit_size,
+)
+from nested_hashing_psi_tpu.hashing import (
+    CuckooHashTable,
+    HierarchicalCuckooHashTable,
+    TabulationHashing,
+)
+from nested_hashing_psi_tpu.pie.batched_fhe import BatchedFHEClientOps, BatchedFHEPIE
+from nested_hashing_psi_tpu.protocol.base import PSIClientBase, PSIServerBase
+from nested_hashing_psi_tpu.protocol.channel import Channel
+
+PROTOCOL_NAME = "BatchedFHE"
+
+
+def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
+    t = plaintext_modulus_for_bit_size(psi.bit_size)
+    limbs = psi.num_limbs or default_num_limbs(
+        t.bit_length(),
+        ht.n_cuckoo_hash_functions - 1,
+        ht.each_cuckoo_table_size,
+    )
+    sp = SchemeParams(
+        ring_dim=psi.ring_dim,
+        plaintext_modulus=t,
+        num_limbs=limbs,
+        scheme="bgv" if psi.bgv else "bgv",  # BFV scheduled; BGV backs both
+    )
+    if psi.ring_dim == 16384:
+        sp.validate_security()
+    return sp
+
+
+class BatchedFHEPSIClient(PSIClientBase):
+    def __init__(self, data, params: PSIParams, ht: HashTableParams, channel: Channel, **kw):
+        super().__init__(data, params, channel, PROTOCOL_NAME, **kw)
+        self.ht = ht
+
+    def run_setup_phase(self) -> None:
+        p, ht = self.params, self.ht
+        if ht.batch_slots > p.ring_dim:
+            raise ValueError(
+                f"batch slots {ht.batch_slots} exceed ring dim {p.ring_dim}"
+            )
+        self.hasher = TabulationHashing(
+            p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
+        )
+        self.ctx = BGVContext(_scheme_params(p, ht), seed=time.time_ns() % 2**31)
+        self.sk, self.pk = self.ctx.keygen()
+        self.rlk = self.ctx.relin_keygen(self.sk)
+        self.client_table = CuckooHashTable(
+            self.hasher,
+            each_table_size=ht.each_simple_table_size,
+            n_hash_functions=ht.n_simple_hash_functions,
+            starting_hash_id=0,
+            max_stash_size=0,
+            multi_table=ht.simple_multi_table,
+            max_items_per_position=1,
+            seed=p.item_seed ^ 0x5EED,
+        )
+        # context + keys to the server (cpp:217-247)
+        sp = self.ctx.params
+        self.channel.write_tensor(
+            np.array([sp.ring_dim, sp.plaintext_modulus, sp.num_limbs], np.uint64)
+        )
+        self.channel.write_tensor(np.asarray(self.rlk.b_mont))
+        self.channel.write_tensor(np.asarray(self.rlk.a_mont))
+
+    def run_offline_phase(self) -> None:
+        self.client_table.insert_all(self.client_set)
+        self.client_ops = BatchedFHEClientOps(
+            self.ctx,
+            self.client_table,
+            self.ht.n_simple_hash_functions,
+            self.ht.n_cuckoo_hash_functions,
+            self.ht.each_cuckoo_table_size,
+        )
+        self.idx_ct, self.minus_ct = self.client_ops.encrypt_query(self.sk)
+        np.asarray(self.idx_ct.data)  # block: offline phase owns this cost
+
+    def run_online_phase(self) -> None:
+        self.channel.write_tensor(np.asarray(self.minus_ct.data))
+        self.channel.write_tensor(np.asarray(self.idx_ct.data))
+        result = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+        slots, noise = self.ctx.decrypt(result, self.sk, length=self.ht.batch_slots)
+        self.noise_bits = noise
+        self.intersection_calculated = self.client_ops.extract_intersection(
+            np.asarray(slots)
+        )
+
+
+class BatchedFHEPSIServer(PSIServerBase):
+    def __init__(self, data, params: PSIParams, ht: HashTableParams, channel: Channel, **kw):
+        super().__init__(data, params, channel, PROTOCOL_NAME, **kw)
+        self.ht = ht
+
+    def run_setup_phase(self) -> None:
+        p, ht = self.params, self.ht
+        self.hasher = TabulationHashing(
+            p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
+        )
+        meta = self.channel.read_tensor()
+        ring_dim, t, limbs = (int(v) for v in meta)
+        self.ctx = BGVContext(
+            SchemeParams(ring_dim=ring_dim, plaintext_modulus=t, num_limbs=limbs),
+            seed=time.time_ns() % 2**31,
+        )
+        self.rlk = RelinKey(
+            b_mont=jnp.asarray(self.channel.read_tensor()),
+            a_mont=jnp.asarray(self.channel.read_tensor()),
+        )
+        self.server_table = HierarchicalCuckooHashTable.from_params(
+            self.hasher, ht, seed=p.item_seed ^ 0x7A11
+        )
+
+    def run_offline_phase(self) -> None:
+        begin = time.monotonic_ns()
+        self.server_table.insert_all(self.server_set)
+        self.pie = BatchedFHEPIE(self.ctx, self.server_table, self.rlk)
+        self.offline_computation_us = (time.monotonic_ns() - begin) // 1000
+
+    def run_online_phase(self) -> None:
+        minus = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+        idx = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+        begin = time.monotonic_ns()
+        result = self.pie.run(idx, minus)
+        result_np = np.asarray(result.data)
+        self.online_computation_us = (time.monotonic_ns() - begin) // 1000
+        self.channel.write_tensor(result_np)
+        if self.params.export_performance:
+            self.export_measurements()

@@ -1,0 +1,161 @@
+"""Party-to-party transport.
+
+Replaces libscapi's CommPartyTCPSynced (length-prefixed synchronized TCP with
+byte counters; reference usage /root/reference/src/Server/PSIServer.hpp:31-49).
+Two implementations:
+ - TCPChannel: blocking sockets, 8-byte little-endian length prefix, join
+   retries like the reference's channel->join(500, 5000000).
+ - LoopbackChannel: in-process queue pair so client+server can run in two
+   threads of one test process (the reference needs two OS processes).
+
+Tensor serialization is a minimal versioned framing of numpy buffers --
+ciphertexts are uint32 limb tensors, so one message = one dense array.
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import struct
+import time
+
+import numpy as np
+
+_MAGIC = b"NHP1"
+
+
+def tensor_to_bytes(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    dt = arr.dtype.str.encode()
+    header = struct.pack("<4sB", _MAGIC, len(dt)) + dt
+    header += struct.pack("<B", arr.ndim)
+    header += struct.pack(f"<{arr.ndim}q", *arr.shape)
+    return header + arr.tobytes()
+
+
+def tensor_from_bytes(buf: bytes) -> np.ndarray:
+    magic, dt_len = struct.unpack_from("<4sB", buf, 0)
+    assert magic == _MAGIC, "bad tensor frame"
+    off = 5
+    dt = buf[off : off + dt_len].decode()
+    off += dt_len
+    (ndim,) = struct.unpack_from("<B", buf, off)
+    off += 1
+    shape = struct.unpack_from(f"<{ndim}q", buf, off)
+    off += 8 * ndim
+    return np.frombuffer(buf, dtype=np.dtype(dt), offset=off).reshape(shape)
+
+
+class Channel:
+    """Length-prefixed message channel with byte counters."""
+
+    def __init__(self):
+        self.bytes_in = 0
+        self.bytes_out = 0
+
+    def write_msg(self, payload: bytes) -> None:
+        raise NotImplementedError
+
+    def read_msg(self) -> bytes:
+        raise NotImplementedError
+
+    def write_tensor(self, arr: np.ndarray) -> None:
+        self.write_msg(tensor_to_bytes(arr))
+
+    def read_tensor(self) -> np.ndarray:
+        return tensor_from_bytes(self.read_msg())
+
+    def reset_counters(self) -> None:
+        self.bytes_in = 0
+        self.bytes_out = 0
+
+    def close(self) -> None:
+        pass
+
+
+class LoopbackChannel(Channel):
+    def __init__(self, inbox: "queue.Queue[bytes]", outbox: "queue.Queue[bytes]"):
+        super().__init__()
+        self._inbox = inbox
+        self._outbox = outbox
+
+    @classmethod
+    def pair(cls) -> tuple["LoopbackChannel", "LoopbackChannel"]:
+        a: queue.Queue = queue.Queue()
+        b: queue.Queue = queue.Queue()
+        return cls(a, b), cls(b, a)
+
+    def write_msg(self, payload: bytes) -> None:
+        self.bytes_out += len(payload) + 8
+        self._outbox.put(bytes(payload))
+
+    def read_msg(self) -> bytes:
+        msg = self._inbox.get()
+        self.bytes_in += len(msg) + 8
+        return msg
+
+
+class TCPChannel(Channel):
+    """Blocking TCP with 8-byte length prefix.
+
+    The reference's connection topology (PSIServer.hpp:31-38): server binds
+    port+1 and connects to the client's port; here simply: server listens on
+    `port`, client connects with retries.
+    """
+
+    def __init__(self, sock: socket.socket):
+        super().__init__()
+        self._sock = sock
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    @classmethod
+    def listen(cls, ip: str, port: int, timeout: float = 600.0) -> "TCPChannel":
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((ip, port))
+        srv.listen(1)
+        srv.settimeout(timeout)
+        conn, _ = srv.accept()
+        srv.close()
+        return cls(conn)
+
+    @classmethod
+    def connect(
+        cls, ip: str, port: int, retry_ms: int = 500, max_retries: int = 1200
+    ) -> "TCPChannel":
+        for _ in range(max_retries):
+            try:
+                s = socket.create_connection((ip, port), timeout=10)
+                return cls(s)
+            except OSError:
+                time.sleep(retry_ms / 1000.0)
+        raise ConnectionError(f"could not connect to {ip}:{port}")
+
+    def write_msg(self, payload: bytes) -> None:
+        frame = struct.pack("<Q", len(payload)) + payload
+        self._sock.sendall(frame)
+        self.bytes_out += len(frame)
+
+    def read_msg(self) -> bytes:
+        size_buf = self._read_exact(8)
+        (size,) = struct.unpack("<Q", size_buf)
+        payload = self._read_exact(size)
+        self.bytes_in += 8 + size
+        return payload
+
+    def _read_exact(self, count: int) -> bytes:
+        chunks = []
+        got = 0
+        while got < count:
+            chunk = self._sock.recv(min(count - got, 1 << 20))
+            if not chunk:
+                raise ConnectionError("channel closed")
+            chunks.append(chunk)
+            got += len(chunk)
+        return b"".join(chunks)
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
