@@ -9,12 +9,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: CI env may preset a TPU platform
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-# XLA compiles are ~10-40s on small hosts; cache them across tests/runs.
+# Cache XLA compiles across tests/runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The environment's sitecustomize registers a TPU PJRT plugin at interpreter
+# startup (before this conftest), so the env var alone is too late -- force
+# the platform through jax.config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
