@@ -1,0 +1,81 @@
+"""End-to-end protocol tests: self-verifying client over a loopback channel.
+
+The reference's production binaries double as their own integration test
+("Set matches!", /root/reference/src/Client/PSIClient.hpp:119-134); this
+reproduces that harness in-process.
+"""
+
+import numpy as np
+import pytest
+
+from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
+from nested_hashing_psi_tpu.protocol.runner import run_in_process
+
+
+def small_params(**over):
+    base = dict(
+        server_set_size=300,
+        client_set_size=12,
+        intersection_set_size=5,
+        hash_seed=987654321,
+        item_seed=123456789,
+        bit_size=16,
+        fhe=True,
+        batched=True,
+        ring_dim=128,
+        num_limbs=8,
+    )
+    base.update(over)
+    return PSIParams(**base)
+
+
+def small_ht(**over):
+    base = dict(
+        each_simple_table_size=32,
+        each_cuckoo_table_size=12,
+        n_simple_hash_functions=2,
+        n_cuckoo_hash_functions=2,
+        max_items_per_position=4,
+    )
+    base.update(over)
+    return HashTableParams(**base)
+
+
+def test_batched_fhe_e2e_loopback():
+    client, server, ok = run_in_process(small_params(), small_ht())
+    assert ok, "client-side intersection verification failed"
+    assert len(client.intersection_calculated) == 5
+    assert client.noise_bits < 8 * 31 - 10
+    # measurement schema populated
+    assert set(client.measurements) == {"Setup", "Offline", "Online"}
+    assert client.measurements["Online"].bytes_out > 0
+
+
+def test_batched_fhe_e2e_empty_intersection():
+    client, _, ok = run_in_process(
+        small_params(intersection_set_size=0, client_set_size=8), small_ht()
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 0
+
+
+def test_batched_fhe_e2e_full_client_in_server():
+    client, _, ok = run_in_process(
+        small_params(client_set_size=6, intersection_set_size=6), small_ht()
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 6
+
+
+def test_batched_fhe_e2e_32bit_items():
+    client, _, ok = run_in_process(small_params(bit_size=32, num_limbs=10), small_ht())
+    assert ok
+    assert len(client.intersection_calculated) == 5
+
+
+def test_batched_fhe_e2e_three_cuckoo_hfs():
+    client, _, ok = run_in_process(
+        small_params(num_limbs=12),
+        small_ht(n_cuckoo_hash_functions=3),
+    )
+    assert ok
