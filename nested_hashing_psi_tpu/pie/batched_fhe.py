@@ -37,6 +37,29 @@ from nested_hashing_psi_tpu.hashing.hierarchical import HierarchicalCuckooHashTa
 from nested_hashing_psi_tpu.ops.modmath import add_mod, modsum, mont_mul
 
 
+def batched_pie_forward(
+    ctx: BGVContext,
+    rlk: RelinKey,
+    idx_data: jnp.ndarray,    # (H, P, 2, L, N) index ciphertexts
+    minus_data: jnp.ndarray,  # (2, L, N) minus-element ciphertext
+    table_pt: jnp.ndarray,    # (H, D, P, L, N) packed server table (Montgomery)
+    mask_pt: jnp.ndarray,     # (D, L, N) per-depth masks (Montgomery)
+) -> jnp.ndarray:
+    """Depth-vectorized batched-PIE online step (no scan): the form used for
+    device-mesh sharding (depths = DP, limbs = TP) and the compile-check
+    entry point. Returns result ciphertexts (D, 2, L, N)."""
+    H = idx_data.shape[0]
+    prod = mont_mul(
+        idx_data[:, None], table_pt[..., None, :, :], ctx.p, ctx.pinv
+    )  # (H, D, P, 2, L, N)
+    ip = modsum(prod, ctx.p, axis=2)              # (H, D, 2, L, N)
+    ip = add_mod(ip, minus_data[None, None], ctx.p)
+    acc = Ciphertext(ip[0])                       # batched over D
+    for h in range(1, H):
+        acc = ctx.ct_ct_mul_relin(acc, Ciphertext(ip[h]), rlk)
+    return mont_mul(acc.data, mask_pt[:, None], ctx.p, ctx.pinv)
+
+
 class BatchedFHEPIE:
     """Server-side engine over the whole nested table."""
 
