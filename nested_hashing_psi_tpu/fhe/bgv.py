@@ -200,12 +200,27 @@ class BGVContext:
         return sk, pk
 
     def relin_keygen(self, sk: SecretKey) -> RelinKey:
-        return self._jit("relin_keygen", self._relin_keygen_impl)(
-            sk, self._next_key()
-        )
+        """RNS-CRT gadget key for s^2 -> s (EvalMultKeyGen equivalent)."""
+        s2 = mont_mul(sk.s_ntt, sk.s_mont, self.p, self.pinv)  # plain form
+        return self._jit("ksk_gen", self._ksk_gen_impl)(sk, s2, self._next_key())
 
-    def _relin_keygen_impl(self, sk: SecretKey, key) -> RelinKey:
-        """RNS-CRT gadget key: ksk[k] = (t*e_k - a_k*s + s^2*g_k, a_k)."""
+    def galois_keygen(self, sk: SecretKey, elements) -> dict[int, RelinKey]:
+        """Key-switch keys sigma_k(s) -> s for each Galois element k
+        (EvalRotateKeyGen / EvalSumKeyGen equivalent)."""
+        from nested_hashing_psi_tpu.fhe.galois import automorphism_ntt_perm
+
+        out = {}
+        for k in elements:
+            perm = jnp.asarray(automorphism_ntt_perm(self.n, k))
+            target = sk.s_ntt[..., perm]
+            out[int(k)] = self._jit("ksk_gen", self._ksk_gen_impl)(
+                sk, target, self._next_key()
+            )
+        return out
+
+    def _ksk_gen_impl(self, sk: SecretKey, target_ntt, key) -> RelinKey:
+        """ksk[k] = (t*e_k - a_k*s + target*g_k, a_k) with the CRT gadget
+        g_k = 1 on limb k, 0 elsewhere; target in plain NTT form (L, N)."""
         L, n = self.L, self.n
         k_a, k_e = jax.random.split(key)
         a = self._uniform_rns(k_a, (L, L, n))
@@ -216,9 +231,8 @@ class BGVContext:
             mont_mul(a, sk.s_mont, self.p, self.pinv),
             self.p,
         )
-        s2 = mont_mul(sk.s_ntt, sk.s_mont, self.p, self.pinv)  # (L, n) plain
         eye = jnp.eye(L, dtype=bool)[:, :, None]
-        b = jnp.where(eye, add_mod(b, s2[None], self.p), b)
+        b = jnp.where(eye, add_mod(b, target_ntt[None], self.p), b)
         return RelinKey(
             b_mont=to_mont(b, self.p, self.pinv, self.r2),
             a_mont=to_mont(a, self.p, self.pinv, self.r2),
@@ -411,20 +425,76 @@ class BGVContext:
         d0 = ct.data[..., 0, :, :]
         d1 = ct.data[..., 1, :, :]
         d2 = ct.data[..., 2, :, :]
-        dig = self._rns_decompose(d2)  # (..., L_dig, L, N) NTT domain
-        c0, c1 = d0, d1
+        ks0, ks1 = self._key_switch(d2, rlk)
+        return Ciphertext(
+            jnp.stack(
+                [add_mod(d0, ks0, self.p), add_mod(d1, ks1, self.p)], axis=-3
+            )
+        )
+
+    def _key_switch(self, poly_ntt: jnp.ndarray, ksk: RelinKey):
+        """Key-switch a polynomial under the gadget key: returns (d0, d1)
+        with d0 + d1*s = poly * <key target> (+ small noise)."""
+        dig = self._rns_decompose(poly_ntt)  # (..., L_dig, L, N) NTT domain
+        d0 = d1 = None
         for kdig in range(self.L):
-            c0 = add_mod(
-                c0,
-                mont_mul(dig[..., kdig, :, :], rlk.b_mont[kdig], self.p, self.pinv),
-                self.p,
+            t0 = mont_mul(dig[..., kdig, :, :], ksk.b_mont[kdig], self.p, self.pinv)
+            t1 = mont_mul(dig[..., kdig, :, :], ksk.a_mont[kdig], self.p, self.pinv)
+            d0 = t0 if d0 is None else add_mod(d0, t0, self.p)
+            d1 = t1 if d1 is None else add_mod(d1, t1, self.p)
+        return d0, d1
+
+    # ------------------------------------------------------------------
+    # automorphisms / rotations (EvalRotate, EvalSum equivalents)
+    # ------------------------------------------------------------------
+    def automorphism(self, ct: Ciphertext, k: int, gk: RelinKey) -> Ciphertext:
+        """sigma_k(ct): slot permutation per fhe.galois + key switch."""
+        from nested_hashing_psi_tpu.fhe.galois import automorphism_ntt_perm
+
+        perm = jnp.asarray(automorphism_ntt_perm(self.n, k))
+
+        def impl(ct, gk):
+            c0 = ct.data[..., 0, :, :][..., perm]
+            c1 = ct.data[..., 1, :, :][..., perm]
+            ks0, ks1 = self._key_switch(c1, gk)
+            return Ciphertext(
+                jnp.stack([add_mod(c0, ks0, self.p), ks1], axis=-3)
             )
-            c1 = add_mod(
-                c1,
-                mont_mul(dig[..., kdig, :, :], rlk.a_mont[kdig], self.p, self.pinv),
-                self.p,
-            )
-        return Ciphertext(jnp.stack([c0, c1], axis=-3))
+
+        return self._jit(f"auto_{k}", impl)(ct, gk)
+
+    def rotate_slots(self, ct: Ciphertext, r: int, gks: dict[int, RelinKey]) -> Ciphertext:
+        """Left-rotate slots by r within each half-ring (EvalAtIndex)."""
+        from nested_hashing_psi_tpu.fhe.galois import rotation_galois_element
+
+        k = rotation_galois_element(self.n, r)
+        if k == 1:
+            return ct
+        return self.automorphism(ct, k, gks[k])
+
+    def conjugate(self, ct: Ciphertext, gks: dict[int, RelinKey]) -> Ciphertext:
+        """Swap the two half-rings (sigma_{2n-1})."""
+        k = 2 * self.n - 1
+        return self.automorphism(ct, k, gks[k])
+
+    def sum_ladder_elements(self) -> list[int]:
+        """Galois elements needed by eval_sum_all_slots (EvalSumKeyGen set)."""
+        from nested_hashing_psi_tpu.fhe.galois import rotation_galois_element
+
+        half = self.n // 2
+        els = [rotation_galois_element(self.n, 1 << j) for j in range(half.bit_length() - 1)]
+        els.append(2 * self.n - 1)
+        return els
+
+    def eval_sum_all_slots(self, ct: Ciphertext, gks: dict[int, RelinKey]) -> Ciphertext:
+        """Sum of all n slots, replicated into every slot (EvalSum over the
+        full batch): log2(n/2) rotations + one conjugation."""
+        half = self.n // 2
+        r = 1
+        while r < half:
+            ct = self.ct_add(ct, self.rotate_slots(ct, r, gks))
+            r <<= 1
+        return self.ct_add(ct, self.conjugate(ct, gks))
 
     def ct_ct_mul_relin(self, a: Ciphertext, b: Ciphertext, rlk: RelinKey) -> Ciphertext:
         return self.relinearize(self.ct_ct_mul(a, b), rlk)

@@ -61,7 +61,12 @@ def _ntt_object(a: np.ndarray, p: int, psi: int, inverse: bool) -> np.ndarray:
 
 
 class PackedEncoder:
-    """Slot <-> coefficient transforms mod the plaintext modulus t."""
+    """Slot <-> coefficient transforms mod the plaintext modulus t.
+
+    Slot order is canonical (5-power ordering, fhe.galois): slot j < n/2
+    evaluates at psi^(5^j), slot n/2+j at psi^(-5^j), so Galois rotations act
+    as slot rotations within each half-ring.
+    """
 
     def __init__(self, ring_dim: int, t: int):
         assert (t - 1) % (2 * ring_dim) == 0, "t must be NTT-friendly (2n | t-1)"
@@ -69,6 +74,9 @@ class PackedEncoder:
         self.t = t
         self.psi = primes_mod.primitive_root_of_unity(t, 2 * ring_dim)
         self.small = t < 2**31
+        from nested_hashing_psi_tpu.fhe.galois import slot_to_ntt_pos
+
+        self._s2n = slot_to_ntt_pos(ring_dim)
 
     def encode(self, values) -> np.ndarray:
         """Slot values (len <= n, ints; negatives allowed) -> coeffs in [0,t).
@@ -76,18 +84,21 @@ class PackedEncoder:
         Accepts (..., m) arrays or lists; pads slots beyond m with zeros.
         """
         v = np.asarray(values, dtype=object)
-        if v.ndim == 1:
+        one_d = v.ndim == 1
+        if one_d:
             v = v[None, :]
         batch, m = v.shape[0], v.shape[-1]
         assert m <= self.n
         slots = np.zeros((batch, self.n), dtype=object)
         slots[:, :m] = v
         slots = slots % self.t
+        eval_vec = np.zeros_like(slots)
+        eval_vec[:, self._s2n] = slots
         if self.small:
-            coeffs = intt_numpy(slots.astype(np.uint64), self.t, self.psi)
+            coeffs = intt_numpy(eval_vec.astype(np.uint64), self.t, self.psi)
         else:
-            coeffs = _ntt_object(slots, self.t, self.psi, inverse=True)
-        return coeffs if np.asarray(values).ndim > 1 else coeffs[0]
+            coeffs = _ntt_object(eval_vec, self.t, self.psi, inverse=True)
+        return coeffs[0] if one_d else coeffs
 
     def decode(self, coeffs: np.ndarray, length: int | None = None) -> np.ndarray:
         """Coeffs in [0,t) -> slot values in [0,t) (first `length` slots)."""
@@ -96,9 +107,10 @@ class PackedEncoder:
         if one_d:
             c = c[None, :]
         if self.small:
-            slots = ntt_numpy(c.astype(np.uint64), self.t, self.psi)
+            evals = ntt_numpy(c.astype(np.uint64), self.t, self.psi)
         else:
-            slots = _ntt_object(c.astype(object), self.t, self.psi, inverse=False)
+            evals = _ntt_object(c.astype(object), self.t, self.psi, inverse=False)
+        slots = evals[..., self._s2n]
         if length is not None:
             slots = slots[..., :length]
         return slots[0] if one_d else slots

@@ -1,0 +1,183 @@
+"""Single-position FHE PIE, batched across all outer-table positions.
+
+Capability parity with the reference's FHEHIPPIE
+(/root/reference/src/Common/Crypto/PrivateIndexedEqualityCheck/FHEHIPPIE.cpp:9-77):
+for one inner cuckoo table, per inner hash fn h and bin b the server computes
+EvalInnerProduct(idx_ct[h], pt(bin row || 1)) -- slot sum of the one-hot
+index against the bin's items plus the trailing -elem term -- merges the
+per-bin results into one ciphertext (slot b = bin b's value) and multiplies
+by a random mask. Bin order is pre-shuffled (permVec2) and the per-position
+hash-function output order is shuffled (permutationVector) to hide which
+hash/bin matched.
+
+TPU-first redesign:
+ - ALL positions (the reference's per-thread FHEHIPPIECollections,
+   SimpleFHEPSIServer.cpp:92-164) batch into one tensor pipeline: inputs
+   (nPies, H, 2, L, N), table (nPies, H, B, L, N).
+ - EvalSum is the batched rotation ladder (log2(n/2) automorphisms + one
+   conjugation) applied to the whole (nPies, H, B) block at once.
+ - EvalMerge needs NO rotations: the slot-sum leaves the inner product in
+   every slot, so masking with the one-hot plaintext e_b and adding already
+   places bin b's result in slot b (the reference rotates because it first
+   isolates slot 0; this formulation is strictly cheaper).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, RelinKey, SecretKey
+from nested_hashing_psi_tpu.hashing.cuckoo import CuckooHashTable
+from nested_hashing_psi_tpu.hashing.hierarchical import HierarchicalCuckooHashTable
+from nested_hashing_psi_tpu.ops.modmath import add_mod, modsum, mont_mul
+
+
+class SimpleFHEPIE:
+    """Batched engine over every (outer table, outer position) inner table."""
+
+    def __init__(
+        self,
+        ctx: BGVContext,
+        hct: HierarchicalCuckooHashTable,
+        galois_keys: dict[int, RelinKey],
+        mask_seed: int | None = None,
+    ):
+        if hct.server_stash_size != 0:
+            raise ValueError("FHE PIE does not support a stash")
+        self.ctx = ctx
+        self.gks = galois_keys
+        self.H = hct.n_cuckoo_hash_functions
+        self.B = hct.max_items_per_position       # bins per hash fn
+        self.P = hct.each_cuckoo_table_size       # row length
+        if self.P + 1 > ctx.n:
+            raise ValueError("inner table row does not fit in ring slots")
+
+        rng = np.random.Generator(
+            np.random.Philox(
+                key=np.random.SeedSequence().entropy if mask_seed is None else mask_seed
+            )
+        )
+        table = hct.table  # (S, O, H_t, B, P, 2)
+        S, O = table.shape[0], table.shape[1]
+        self.n_pies = S * O
+        if table[..., 1].any():
+            raise ValueError("FHE paths support items below 64 bits only")
+        vals = table[..., 0].reshape(self.n_pies, self.H, self.B, self.P)
+
+        # permVec2: shuffle bin order per (pie, hf)
+        self.bin_perm = np.argsort(rng.random((self.n_pies, self.H, self.B)), axis=-1)
+        vals = np.take_along_axis(vals, self.bin_perm[..., None], axis=2)
+
+        # rows: (nPies, H, B, P+1) with trailing 1 for the -elem slot
+        rows = np.concatenate(
+            [vals.astype(object), np.ones((self.n_pies, self.H, self.B, 1), object)],
+            axis=-1,
+        )
+        flat = rows.reshape(-1, self.P + 1)
+        pt = ctx.make_plaintext_mont(flat)
+        self.table_pt = pt.reshape(self.n_pies, self.H, self.B, ctx.L, ctx.n)
+
+        # one-hot slot selectors e_b (merge masks) and per-(pie,hf) random
+        # masks over the first B slots
+        eye = np.eye(self.B, dtype=np.int64)
+        self.sel_pt = ctx.make_plaintext_mont(eye.astype(object))  # (B, L, n)
+        mask_vals = rng.integers(1, ctx.t, size=(self.n_pies, self.H, self.B))
+        self.mask_pt = ctx.make_plaintext_mont(
+            mask_vals.reshape(-1, self.B).astype(object)
+        ).reshape(self.n_pies, self.H, ctx.L, ctx.n)
+
+        # permutationVector: shuffle hash-fn output order per pie
+        self.hf_perm = np.argsort(rng.random((self.n_pies, self.H)), axis=-1)
+
+        self._run = None
+
+    def run(self, index_cts: Ciphertext) -> Ciphertext:
+        """index_cts: (nPies, H, 2, L, N) -> results (nPies, H, 2, L, N)
+        (hash-fn axis shuffled per pie; slot b of result = bin b)."""
+        if self._run is None:
+            self._run = jax.jit(self._run_impl)
+        return self._run(index_cts)
+
+    def _run_impl(self, index_cts: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        idx = index_cts.data  # (nPies, H, 2, L, N)
+        prod = mont_mul(
+            idx[:, :, None], self.table_pt[:, :, :, None], ctx.p, ctx.pinv
+        )  # (nPies, H, B, 2, L, N)
+        summed = ctx.eval_sum_all_slots(Ciphertext(prod), self.gks).data
+        sel = mont_mul(summed, self.sel_pt[:, None], ctx.p, ctx.pinv)
+        merged = modsum(sel, ctx.p, axis=2)  # (nPies, H, 2, L, N)
+        masked = mont_mul(merged, self.mask_pt[:, :, None], ctx.p, ctx.pinv)
+        perm = jnp.asarray(self.hf_perm)
+        return Ciphertext(
+            jnp.take_along_axis(masked, perm[:, :, None, None, None], axis=1)
+        )
+
+
+class SimpleFHEClientOps:
+    """Client-side index construction and result extraction
+    (reference SimpleFHEPSIClient.cpp:105-160, 242-266)."""
+
+    def __init__(
+        self,
+        ctx: BGVContext,
+        client_table: CuckooHashTable,
+        n_simple_hf: int,
+        n_cuckoo_hf: int,
+        each_cuckoo_table_size: int,
+        max_pp: int,
+    ):
+        self.ctx = ctx
+        self.client_table = client_table
+        self.n_simple_hf = n_simple_hf
+        self.H = n_cuckoo_hf
+        self.P = each_cuckoo_table_size
+        self.max_pp = max_pp
+
+    def _slot_items(self) -> np.ndarray:
+        return self.client_table.table[:, 0, :, :].reshape(-1, 2)
+
+    def build_index_vectors(self) -> np.ndarray:
+        """-> (nPies, H, P+1) plain index vectors: one-hot(hash pos) || -elem;
+        dummy positions get all-zero index and -1 (elem treated as 1)."""
+        items = self._slot_items()
+        n_pies = len(items)
+        occupied = (items != 0).any(axis=1)
+        out = np.zeros((n_pies, self.H, self.P + 1), dtype=object)
+        out[:, :, self.P] = -1  # dummy: elem = 1
+        hasher = self.client_table.hasher
+        occ_idx = np.nonzero(occupied)[0]
+        occ_items = items[occupied]
+        vals = occ_items[:, 0].astype(object) + (occ_items[:, 1].astype(object) << 64)
+        for h in range(self.H):
+            pos = hasher.hash_index(occ_items, self.n_simple_hf + h, self.P)
+            for row, p_, v in zip(occ_idx, pos, vals):
+                out[row, h, p_] = 1
+                out[row, h, self.P] = -int(v)
+        return out
+
+    def encrypt_query(self, sk: SecretKey) -> Ciphertext:
+        vec = self.build_index_vectors()
+        n_pies = vec.shape[0]
+        pt = self.ctx.make_plaintext_rns(vec.reshape(n_pies * self.H, self.P + 1))
+        ct = self.ctx.encrypt_sk(pt, sk)
+        return Ciphertext(
+            ct.data.reshape(n_pies, self.H, 2, self.ctx.L, self.ctx.n)
+        )
+
+    def extract_intersection(self, result_slots: np.ndarray) -> np.ndarray:
+        """result_slots: (nPies, H, max_pp) decrypted bin values. A client
+        position matches iff any (hf, bin) is 0."""
+        zero = np.array(
+            [
+                [[int(v) == 0 for v in bins] for bins in per_hf]
+                for per_hf in result_slots
+            ],
+            dtype=bool,
+        )
+        matched = zero.any(axis=(1, 2))
+        items = self._slot_items()
+        occupied = (items != 0).any(axis=1)
+        return items[matched & occupied]

@@ -1,0 +1,157 @@
+"""Simple (per-position) FHE PSI protocol.
+
+Capability parity with the reference's SimpleFHEPSIClient/Server
+(/root/reference/src/Client/FHE/SimpleFHEPSIClient.cpp,
+ src/Server/FHE/SimpleFHEPSIServer.cpp): per client cuckoo position the
+client sends nCuckooHF index ciphertexts (one-hot inner-hash index || -elem),
+the server answers with nCuckooHF masked merged ciphertexts whose first
+maxPP slots hold the per-bin randomized differences; a zero slot marks a hit.
+
+Differences by design: all positions travel/batch as one dense tensor and
+the server runs one jitted pipeline (SimpleFHEPIE) instead of per-position
+PIEs on thread pools; Galois (EvalSum) keys ship as stacked tensors.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
+from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, RelinKey
+from nested_hashing_psi_tpu.fhe.params import (
+    SchemeParams,
+    default_num_limbs,
+    plaintext_modulus_for_bit_size,
+)
+from nested_hashing_psi_tpu.hashing import (
+    CuckooHashTable,
+    HierarchicalCuckooHashTable,
+    TabulationHashing,
+)
+from nested_hashing_psi_tpu.pie.simple_fhe import SimpleFHEClientOps, SimpleFHEPIE
+from nested_hashing_psi_tpu.protocol.base import PSIClientBase, PSIServerBase
+from nested_hashing_psi_tpu.protocol.channel import Channel
+
+PROTOCOL_NAME = "SimpleFHE"
+
+
+def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
+    t = plaintext_modulus_for_bit_size(psi.bit_size)
+    # no ct x ct; +2 limbs of rotation key-switch slack
+    limbs = psi.num_limbs or default_num_limbs(
+        t.bit_length(), 0, ht.each_cuckoo_table_size + 1
+    ) + 2
+    sp = SchemeParams(ring_dim=psi.ring_dim, plaintext_modulus=t, num_limbs=limbs)
+    if psi.ring_dim == 16384:
+        sp.validate_security()
+    return sp
+
+
+class SimpleFHEPSIClient(PSIClientBase):
+    def __init__(self, data, params: PSIParams, ht: HashTableParams, channel: Channel, **kw):
+        super().__init__(data, params, channel, PROTOCOL_NAME, **kw)
+        self.ht = ht
+
+    def run_setup_phase(self) -> None:
+        p, ht = self.params, self.ht
+        self.hasher = TabulationHashing(
+            p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
+        )
+        self.ctx = BGVContext(_scheme_params(p, ht), seed=time.time_ns() % 2**31)
+        self.sk, self.pk = self.ctx.keygen()
+        els = self.ctx.sum_ladder_elements()
+        self.gks = self.ctx.galois_keygen(self.sk, els)
+        self.client_table = CuckooHashTable(
+            self.hasher,
+            each_table_size=ht.each_simple_table_size,
+            n_hash_functions=ht.n_simple_hash_functions,
+            starting_hash_id=0,
+            max_stash_size=0,
+            multi_table=ht.simple_multi_table,
+            max_items_per_position=1,
+            seed=p.item_seed ^ 0x51E,
+        )
+        sp = self.ctx.params
+        self.channel.write_tensor(
+            np.array([sp.ring_dim, sp.plaintext_modulus, sp.num_limbs], np.uint64)
+        )
+        self.channel.write_tensor(np.array(els, np.int64))
+        self.channel.write_tensor(
+            np.stack([np.asarray(self.gks[k].b_mont) for k in els])
+        )
+        self.channel.write_tensor(
+            np.stack([np.asarray(self.gks[k].a_mont) for k in els])
+        )
+
+    def run_offline_phase(self) -> None:
+        self.client_table.insert_all(self.client_set)
+        self.client_ops = SimpleFHEClientOps(
+            self.ctx,
+            self.client_table,
+            self.ht.n_simple_hash_functions,
+            self.ht.n_cuckoo_hash_functions,
+            self.ht.each_cuckoo_table_size,
+            self.ht.max_items_per_position,
+        )
+        self.idx_ct = self.client_ops.encrypt_query(self.sk)
+        np.asarray(self.idx_ct.data)
+
+    def run_online_phase(self) -> None:
+        self.channel.write_tensor(np.asarray(self.idx_ct.data))
+        result = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+        n_pies = result.data.shape[0]
+        flat = Ciphertext(
+            result.data.reshape(-1, 2, self.ctx.L, self.ctx.n)
+        )
+        slots, noise = self.ctx.decrypt(flat, self.sk, length=self.ht.max_items_per_position)
+        self.noise_bits = noise
+        slots = np.asarray(slots).reshape(
+            n_pies, self.ht.n_cuckoo_hash_functions, self.ht.max_items_per_position
+        )
+        self.intersection_calculated = self.client_ops.extract_intersection(slots)
+
+
+class SimpleFHEPSIServer(PSIServerBase):
+    def __init__(self, data, params: PSIParams, ht: HashTableParams, channel: Channel, **kw):
+        super().__init__(data, params, channel, PROTOCOL_NAME, **kw)
+        self.ht = ht
+
+    def run_setup_phase(self) -> None:
+        p, ht = self.params, self.ht
+        self.hasher = TabulationHashing(
+            p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
+        )
+        meta = self.channel.read_tensor()
+        ring_dim, t, limbs = (int(v) for v in meta)
+        self.ctx = BGVContext(
+            SchemeParams(ring_dim=ring_dim, plaintext_modulus=t, num_limbs=limbs),
+            seed=time.time_ns() % 2**31,
+        )
+        els = [int(k) for k in self.channel.read_tensor()]
+        b = jnp.asarray(self.channel.read_tensor())
+        a = jnp.asarray(self.channel.read_tensor())
+        self.gks = {
+            k: RelinKey(b_mont=b[i], a_mont=a[i]) for i, k in enumerate(els)
+        }
+        self.server_table = HierarchicalCuckooHashTable.from_params(
+            self.hasher, ht, seed=p.item_seed ^ 0x7A12
+        )
+
+    def run_offline_phase(self) -> None:
+        begin = time.monotonic_ns()
+        self.server_table.insert_all(self.server_set)
+        self.pie = SimpleFHEPIE(self.ctx, self.server_table, self.gks)
+        self.offline_computation_us = (time.monotonic_ns() - begin) // 1000
+
+    def run_online_phase(self) -> None:
+        idx = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+        begin = time.monotonic_ns()
+        result = self.pie.run(idx)
+        result_np = np.asarray(result.data)
+        self.online_computation_us = (time.monotonic_ns() - begin) // 1000
+        self.channel.write_tensor(result_np)
+        if self.params.export_performance:
+            self.export_measurements()
