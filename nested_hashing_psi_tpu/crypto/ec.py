@@ -1,0 +1,268 @@
+"""Prime-field NIST elliptic curves (P-192/224/256/384/521), pure Python.
+
+Replaces the reference's libscapi OpenSSLDlogECFp
+(/root/reference/src/Client/ElGamal/ElGamalPSIClient.hpp:40-52 selects the
+curve by name). Binary-field curves (B-*/K-*) are not implemented -- the
+reference supports them via OpenSSL; P-curves cover the benchmark configs.
+
+Jacobian-coordinate arithmetic with a fixed-base window table for the
+generator. Host-side by design (SURVEY section 2.2): EC scalar mults do not
+map to the MXU/VPU; the FHE path is the TPU workload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# name: (p, a, b, gx, gy, order)
+CURVES = {
+    "P-192": (
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFFFFFFFFFFFF,
+        -3,
+        0x64210519E59C80E70FA7E9AB72243049FEB8DEECC146B9B1,
+        0x188DA80EB03090F67CBF20EB43A18800F4FF0AFD82FF1012,
+        0x07192B95FFC8DA78631011ED6B24CDD573F977A11E794811,
+        0xFFFFFFFFFFFFFFFFFFFFFFFF99DEF836146BC9B1B4D22831,
+    ),
+    "P-224": (
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFF000000000000000000000001,
+        -3,
+        0xB4050A850C04B3ABF54132565044B0B7D7BFD8BA270B39432355FFB4,
+        0xB70E0CBD6BB4BF7F321390B94A03C1D356C21122343280D6115C1D21,
+        0xBD376388B5F723FB4C22DFE6CD4375A05A07476444D5819985007E34,
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFF16A2E0B8F03E13DD29455C5C2A3D,
+    ),
+    "P-256": (
+        0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF,
+        -3,
+        0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
+        0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+        0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+        0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
+    ),
+    "P-384": (
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFFFF0000000000000000FFFFFFFF,
+        -3,
+        0xB3312FA7E23EE7E4988E056BE3F82D19181D9C6EFE8141120314088F5013875AC656398D8A2ED19D2A85C8EDD3EC2AEF,
+        0xAA87CA22BE8B05378EB1C71EF320AD746E1D3B628BA79B9859F741E082542A385502F25DBF55296C3A545E3872760AB7,
+        0x3617DE4A96262C6F5D9E98BF9292DC29F8F41DBD289A147CE9DA3113B5F0B8C00A60B1CE1D7E819D7A431D7C90EA0E5F,
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFC7634D81F4372DDF581A0DB248B0A77AECEC196ACCC52973,
+    ),
+    "P-521": (
+        (1 << 521) - 1,
+        -3,
+        0x051953EB9618E1C9A1F929A21A0B68540EEA2DA725B99B315F3B8B489918EF109E156193951EC7E937B1652C0BD3BB1BF073573DF883D2C34F1EF451FD46B503F00,
+        0x00C6858E06B70404E9CD9E3ECB662395B4429C648139053FB521F828AF606B4D3DBAA14B5E77EFE75928FE1DC127A2FFA8DE3348B3C1856A429BF97E7E31C2E5BD66,
+        0x011839296A789A3BC0045C8A5FB42C7D1BD998F54449579B446817AFBD17273E662C97EE72995EF42640C550B9013FAD0761353C7086A272C24088BE94769FD16650,
+        0x1FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFA51868783BF2F966B7FCC0148F709A5D03BB5C9B8899C47AEBB6FB71E91386409,
+    ),
+}
+
+INFINITY = None  # affine point at infinity
+
+
+class EcGroup:
+    def __init__(self, name: str = "P-256"):
+        if name not in CURVES:
+            if name[0] in ("B", "K"):
+                raise NotImplementedError(
+                    "binary-field curves (B-*/K-*) are not supported; use P-*"
+                )
+            raise ValueError(f"unknown curve {name}")
+        self.name = name
+        self.p, a, self.b, gx, gy, self.order = CURVES[name]
+        self.a = a % self.p
+        self.g = (gx, gy)
+        # fixed-base window table: g^(j * 16^i) for j in [0,16)
+        self._g_table = self._build_fixed_base_table(self.g)
+
+    # -- Jacobian arithmetic ------------------------------------------------
+    def _jac_double(self, P):
+        if P is None:
+            return None
+        X1, Y1, Z1 = P
+        p = self.p
+        if Y1 == 0:
+            return None
+        XX = X1 * X1 % p
+        YY = Y1 * Y1 % p
+        YYYY = YY * YY % p
+        ZZ = Z1 * Z1 % p
+        S = 2 * ((X1 + YY) ** 2 - XX - YYYY) % p
+        M = (3 * XX + self.a * ZZ % p * ZZ) % p
+        T = (M * M - 2 * S) % p
+        Y3 = (M * (S - T) - 8 * YYYY) % p
+        Z3 = ((Y1 + Z1) ** 2 - YY - ZZ) % p
+        return (T, Y3, Z3)
+
+    def _jac_add(self, P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        p = self.p
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = Z1 * Z1 % p
+        Z2Z2 = Z2 * Z2 % p
+        U1 = X1 * Z2Z2 % p
+        U2 = X2 * Z1Z1 % p
+        S1 = Y1 * Z2 % p * Z2Z2 % p
+        S2 = Y2 * Z1 % p * Z1Z1 % p
+        if U1 == U2:
+            if S1 != S2:
+                return None
+            return self._jac_double(P)
+        H = (U2 - U1) % p
+        I = 4 * H * H % p
+        J = H * I % p
+        r = 2 * (S2 - S1) % p
+        V = U1 * I % p
+        X3 = (r * r - J - 2 * V) % p
+        Y3 = (r * (V - X3) - 2 * S1 * J) % p
+        Z3 = ((Z1 + Z2) ** 2 - Z1Z1 - Z2Z2) % p * H % p
+        return (X3, Y3, Z3)
+
+    def _to_jac(self, A):
+        if A is None:
+            return None
+        return (A[0], A[1], 1)
+
+    def _from_jac(self, P):
+        if P is None:
+            return None
+        X, Y, Z = P
+        p = self.p
+        zi = pow(Z, -1, p)
+        zi2 = zi * zi % p
+        return (X * zi2 % p, Y * zi2 % p * zi % p)
+
+    # -- group API ----------------------------------------------------------
+    def add(self, A, B):
+        return self._from_jac(self._jac_add(self._to_jac(A), self._to_jac(B)))
+
+    def neg(self, A):
+        if A is None:
+            return None
+        return (A[0], (-A[1]) % self.p)
+
+    def mul(self, A, k: int):
+        """Scalar multiplication k*A (k any integer; reduced mod order)."""
+        k %= self.order
+        if k == 0 or A is None:
+            return None
+        P = self._to_jac(A)
+        R = None
+        for bit in bin(k)[2:]:
+            R = self._jac_double(R)
+            if bit == "1":
+                R = self._jac_add(R, P)
+        return self._from_jac(R)
+
+    def _build_fixed_base_table(self, base):
+        nwin = (self.order.bit_length() + 3) // 4
+        table = []
+        cur = self._to_jac(base)
+        for _ in range(nwin):
+            row = [None]
+            acc = None
+            for _ in range(15):
+                acc = self._jac_add(acc, cur)
+                row.append(acc)
+            table.append(row)
+            for _ in range(4):
+                cur = self._jac_double(cur)
+        return table
+
+    def mul_gen(self, k: int):
+        """Fixed-base scalar multiplication k*G (windowed, 4-bit)."""
+        k %= self.order
+        if k == 0:
+            return None
+        R = None
+        i = 0
+        while k:
+            d = k & 0xF
+            if d:
+                R = self._jac_add(R, self._g_table[i][d])
+            k >>= 4
+            i += 1
+        return self._from_jac(R)
+
+    def multi_mul(self, points, scalars):
+        """Simultaneous multi-exponentiation: sum_i scalars[i]*points[i]
+        (interleaved binary; replaces libscapi
+        simultaneousMultipleExponentiations)."""
+        pairs = [
+            (self._to_jac(P), s % self.order)
+            for P, s in zip(points, scalars)
+            if P is not None and s % self.order != 0
+        ]
+        if not pairs:
+            return None
+        nbits = max(s.bit_length() for _, s in pairs)
+        R = None
+        for bit in range(nbits - 1, -1, -1):
+            R = self._jac_double(R)
+            for P, s in pairs:
+                if (s >> bit) & 1:
+                    R = self._jac_add(R, P)
+        return self._from_jac(R)
+
+    # -- serialization ------------------------------------------------------
+    @property
+    def nbytes(self) -> int:
+        return (self.p.bit_length() + 7) // 8
+
+    def to_bytes(self, A) -> bytes:
+        if A is None:
+            return b"\x00" * (self.nbytes + 1)
+        prefix = 2 | (A[1] & 1)
+        return bytes([prefix]) + A[0].to_bytes(self.nbytes, "big")
+
+    def from_bytes(self, data: bytes):
+        if data[0] == 0:
+            return None
+        x = int.from_bytes(data[1:], "big")
+        rhs = (pow(x, 3, self.p) + self.a * x + self.b) % self.p
+        y = _sqrt_mod(rhs, self.p)
+        if y is None:
+            raise ValueError("invalid point encoding")
+        if (y & 1) != (data[0] & 1):
+            y = self.p - y
+        return (x, y)
+
+    def is_on_curve(self, A) -> bool:
+        if A is None:
+            return True
+        x, y = A
+        return (y * y - (x * x * x + self.a * x + self.b)) % self.p == 0
+
+
+def _sqrt_mod(a: int, p: int) -> int | None:
+    """Tonelli-Shanks square root mod odd prime p."""
+    a %= p
+    if a == 0:
+        return 0
+    if pow(a, (p - 1) // 2, p) != 1:
+        return None
+    if p % 4 == 3:
+        return pow(a, (p + 1) // 4, p)
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, p), pow(a, q, p), pow(a, (q + 1) // 2, p)
+    while t != 1:
+        i, tt = 0, t
+        while tt != 1:
+            tt = tt * tt % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        t = t * c % p
+        r = r * b % p
+    return r
