@@ -1,0 +1,85 @@
+"""Pallas TPU kernels for the PIE hot loops.
+
+The batched PIE's dominant op is the position-summed ct x pt product
+
+    ip[h, d, c, l, :] = sum_p idx[h, p, c, l, :] * pt[h, d, p, l, :]  (mod q_l)
+
+A naive jnp formulation materializes the (H, D, P, 2, L, N) product tensor in
+HBM before reducing; this kernel keeps a (2, TN) accumulator in VMEM and
+streams the packed-table blocks through double-buffered pipeline stages, so
+the table tensor is read exactly once -- the HBM speed-of-light for this op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nested_hashing_psi_tpu.ops.modmath import add_mod, mont_mul
+
+DEFAULT_TILE_N = 2048
+
+
+def _ip_kernel(p_ref, pinv_ref, idx_ref, pt_ref, out_ref):
+    P = pt_ref.shape[2]
+    p = p_ref[0, 0]
+    pinv = pinv_ref[0, 0]
+
+    def body(j, acc):
+        prod = mont_mul(idx_ref[0, j, :, 0, :], pt_ref[0, 0, j, 0, :][None], p, pinv)
+        return add_mod(acc, prod, p)
+
+    acc = jnp.zeros((out_ref.shape[2], out_ref.shape[4]), jnp.uint32)
+    acc = jax.lax.fori_loop(0, P, body, acc)
+    out_ref[0, 0, :, 0, :] = acc
+
+
+def indexed_inner_product(
+    idx: jnp.ndarray,      # (H, P, 2, L, N) uint32 ciphertext tensor
+    pt: jnp.ndarray,       # (H, D, P, L, N) uint32 Montgomery plaintexts
+    p: jnp.ndarray,        # (L, 1) uint32 primes
+    pinv: jnp.ndarray,     # (L, 1) uint32 Montgomery constants
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """-> (H, D, 2, L, N): the per-depth, per-hash inner products."""
+    H, P, k, L, N = idx.shape
+    D = pt.shape[1]
+    assert pt.shape == (H, D, P, L, N)
+    tile_n = min(tile_n, N)
+    assert N % tile_n == 0
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    grid = (H, D, L, N // tile_n)
+    return pl.pallas_call(
+        _ip_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda h, d, l, nt: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda h, d, l, nt: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, P, k, 1, tile_n), lambda h, d, l, nt: (h, 0, 0, l, nt)
+            ),
+            pl.BlockSpec(
+                (1, 1, P, 1, tile_n), lambda h, d, l, nt: (h, d, 0, l, nt)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, k, 1, tile_n), lambda h, d, l, nt: (h, d, 0, l, nt)
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, D, k, L, N), jnp.uint32),
+        interpret=interpret,
+    )(p, pinv, idx, pt)
+
+
+def indexed_inner_product_jnp(idx, pt, p, pinv):
+    """Reference jnp formulation (materializes the product tensor)."""
+    from nested_hashing_psi_tpu.ops.modmath import modsum
+
+    prod = mont_mul(idx[:, None], pt[..., None, :, :], p, pinv)
+    return modsum(prod, p, axis=2)

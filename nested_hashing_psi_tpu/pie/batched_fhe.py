@@ -44,15 +44,22 @@ def batched_pie_forward(
     minus_data: jnp.ndarray,  # (2, L, N) minus-element ciphertext
     table_pt: jnp.ndarray,    # (H, D, P, L, N) packed server table (Montgomery)
     mask_pt: jnp.ndarray,     # (D, L, N) per-depth masks (Montgomery)
+    use_kernel: bool = False,
 ) -> jnp.ndarray:
-    """Depth-vectorized batched-PIE online step (no scan): the form used for
-    device-mesh sharding (depths = DP, limbs = TP) and the compile-check
-    entry point. Returns result ciphertexts (D, 2, L, N)."""
+    """Depth-vectorized batched-PIE online step: used for the compile-check
+    entry point, device-mesh sharding (depths = DP, limbs = TP; jnp path --
+    GSPMD partitions it) and, with use_kernel=True, the fused Pallas
+    position-sum kernel on TPU. Returns result ciphertexts (D, 2, L, N)."""
     H = idx_data.shape[0]
-    prod = mont_mul(
-        idx_data[:, None], table_pt[..., None, :, :], ctx.p, ctx.pinv
-    )  # (H, D, P, 2, L, N)
-    ip = modsum(prod, ctx.p, axis=2)              # (H, D, 2, L, N)
+    if use_kernel:
+        from nested_hashing_psi_tpu.ops.pie_kernels import indexed_inner_product
+
+        ip = indexed_inner_product(idx_data, table_pt, ctx.p, ctx.pinv)
+    else:
+        prod = mont_mul(
+            idx_data[:, None], table_pt[..., None, :, :], ctx.p, ctx.pinv
+        )  # (H, D, P, 2, L, N)
+        ip = modsum(prod, ctx.p, axis=2)          # (H, D, 2, L, N)
     ip = add_mod(ip, minus_data[None, None], ctx.p)
     acc = Ciphertext(ip[0])                       # batched over D
     for h in range(1, H):
@@ -113,28 +120,21 @@ class BatchedFHEPIE:
         """index_cts: (H, P, 2, L, N); minus_ct: (2, L, N).
         Returns result ciphertexts (D, 2, L, N)."""
         if self._run is None:
-            self._run = jax.jit(self._run_impl)
+            use_kernel = jax.default_backend() == "tpu"
+            self._run = jax.jit(
+                lambda i, m: Ciphertext(
+                    batched_pie_forward(
+                        self.ctx,
+                        self.rlk,
+                        i.data,
+                        m.data,
+                        self.table_pt,
+                        self.mask_pt,
+                        use_kernel=use_kernel,
+                    )
+                )
+            )
         return self._run(index_cts, minus_ct)
-
-    def _run_impl(self, index_cts: Ciphertext, minus_ct: Ciphertext) -> Ciphertext:
-        ctx = self.ctx
-        idx = index_cts.data  # (H, P, 2, L, N)
-
-        def one_depth(_, pt_d):
-            # pt_d: (H, P, L, N) table plaintexts for this depth.
-            prod = mont_mul(idx, pt_d[:, :, None, :, :], ctx.p, ctx.pinv)
-            ip = modsum(prod, ctx.p, axis=1)  # (H, 2, L, N)
-            ip = add_mod(ip, minus_ct.data[None], ctx.p)
-            acc = Ciphertext(ip[0])
-            for h in range(1, self.H):
-                acc = ctx.ct_ct_mul_relin(acc, Ciphertext(ip[h]), self.rlk)
-            return None, acc.data
-
-        _, res = jax.lax.scan(
-            one_depth, None, self.table_pt.transpose(1, 0, 2, 3, 4)
-        )
-        # mask multiply, batched over depths
-        return ctx.ct_pt_mul(Ciphertext(res), self.mask_pt)
 
 
 @dataclass

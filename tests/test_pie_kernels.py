@@ -1,0 +1,30 @@
+"""Pallas PIE kernel vs jnp reference formulation (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nested_hashing_psi_tpu.ops import primes
+from nested_hashing_psi_tpu.ops.modmath import mont_constants
+from nested_hashing_psi_tpu.ops.pie_kernels import (
+    indexed_inner_product,
+    indexed_inner_product_jnp,
+)
+
+
+def test_indexed_inner_product_matches_reference():
+    H, D, P, L, N = 2, 3, 5, 2, 256
+    ps = primes.ntt_primes(L, 31, 2 * N)
+    p = jnp.asarray(np.array(ps, np.uint32).reshape(L, 1))
+    pinv = jnp.asarray(
+        np.array([mont_constants(q)[0] for q in ps], np.uint32).reshape(L, 1)
+    )
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(
+        rng.integers(0, min(ps), size=(H, P, 2, L, N), dtype=np.uint64), jnp.uint32
+    )
+    pt = jnp.asarray(
+        rng.integers(0, min(ps), size=(H, D, P, L, N), dtype=np.uint64), jnp.uint32
+    )
+    expected = indexed_inner_product_jnp(idx, pt, p, pinv)
+    got = indexed_inner_product(idx, pt, p, pinv, tile_n=128)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
