@@ -97,7 +97,7 @@ class PackedEncoder:
         if self.small:
             coeffs = intt_numpy(eval_vec.astype(np.uint64), self.t, self.psi)
         else:
-            coeffs = _ntt_object(eval_vec, self.t, self.psi, inverse=True)
+            coeffs = self._big_ntt(eval_vec, inverse=True)
         return coeffs[0] if one_d else coeffs
 
     def decode(self, coeffs: np.ndarray, length: int | None = None) -> np.ndarray:
@@ -109,11 +109,26 @@ class PackedEncoder:
         if self.small:
             evals = ntt_numpy(c.astype(np.uint64), self.t, self.psi)
         else:
-            evals = _ntt_object(c.astype(object), self.t, self.psi, inverse=False)
+            evals = self._big_ntt(c.astype(object), inverse=False)
         slots = evals[..., self._s2n]
         if length is not None:
             slots = slots[..., :length]
         return slots[0] if one_d else slots
+
+    def _big_ntt(self, x: np.ndarray, inverse: bool) -> np.ndarray:
+        """NTT mod big t: native C++ (__int128) when available, else exact
+        object-array arithmetic."""
+        from nested_hashing_psi_tpu.utils import native
+
+        out = native.ntt_mod_t(
+            np.array([[int(v) for v in row] for row in x], dtype=np.uint64),
+            self.t,
+            self.psi,
+            inverse,
+        )
+        if out is not None:
+            return out.astype(object)
+        return _ntt_object(x, self.t, self.psi, inverse=inverse)
 
     def centered(self, coeffs: np.ndarray) -> np.ndarray:
         """Lift [0,t) coefficients to centered representatives (object ints)."""
