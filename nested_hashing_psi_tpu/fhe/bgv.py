@@ -48,20 +48,29 @@ U32 = jnp.uint32
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Ciphertext:
-    """data: uint32 (..., k, L, N) in NTT domain; k = 2 (or 3 pre-relin)."""
+    """data: uint32 (..., k, L, N) in NTT domain; k = 2 (or 3 pre-relin).
+
+    form/scale support the BFV layer (fhe.bfv): "bgv" phases carry the
+    message in the LSB (m + t*e), "bfv" phases carry Delta*m + e. `scale` is
+    a known mod-t factor on the message (BFV multiplication converts to BGV
+    form by scaling with t, which multiplies the message by -(q mod t));
+    decrypt divides it out.
+    """
 
     data: jnp.ndarray
+    form: str = "bgv"
+    scale: int = 1
 
     @property
     def k(self) -> int:
         return self.data.shape[-3]
 
     def tree_flatten(self):
-        return (self.data,), None
+        return (self.data,), (self.form, self.scale)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(children[0], *aux)
 
 
 def _register_fields(cls):
@@ -101,6 +110,13 @@ class RelinKey:
 
 
 class BGVContext:
+    default_form = "bgv"
+
+    def _msg_prep(self, m_ntt):
+        """Message placement in the phase: identity for BGV (LSB); the BFV
+        subclass scales by Delta = floor(q/t) (MSB)."""
+        return m_ntt
+
     def __init__(self, params: SchemeParams, seed: int = 0):
         self.params = params
         self.n = params.ring_dim
@@ -123,6 +139,9 @@ class BGVContext:
             for k, pk in enumerate(self.q_primes):
                 qk_mod_qj[k, j, 0] = pk % pj
         self.t_mont = jnp.asarray(t_mont)
+        # encryption-noise scaling: t*e for BGV (message in LSB); the BFV
+        # subclass overrides this with 1*e (message in MSB via Delta)
+        self.noise_mont = self.t_mont
         self.qk_mod_qj = jnp.asarray(qk_mod_qj)
         self.q_half = jnp.asarray(
             np.array([p // 2 for p in self.q_primes], np.uint32).reshape(self.L, 1)
@@ -189,7 +208,7 @@ class BGVContext:
         e = self._gauss(k_e, (self.n,))
         e_ntt = ntt(self._small_to_rns(e), self.plan)
         b = sub_mod(
-            mont_mul(e_ntt, self.t_mont, self.p, self.pinv),
+            mont_mul(e_ntt, self.noise_mont, self.p, self.pinv),
             mont_mul(a, sk.s_mont, self.p, self.pinv),
             self.p,
         )
@@ -268,12 +287,14 @@ class BGVContext:
         e_ntt = ntt(self._small_to_rns(e), self.plan)
         c0 = sub_mod(
             add_mod(
-                mont_mul(e_ntt, self.t_mont, self.p, self.pinv), m_ntt, self.p
+                mont_mul(e_ntt, self.noise_mont, self.p, self.pinv),
+                self._msg_prep(m_ntt),
+                self.p,
             ),
             mont_mul(c1, sk.s_mont, self.p, self.pinv),
             self.p,
         )
-        return Ciphertext(jnp.stack([c0, c1], axis=-3))
+        return Ciphertext(jnp.stack([c0, c1], axis=-3), self.default_form, 1)
 
     def encrypt_pk(self, m_ntt: jnp.ndarray, pk: PublicKey) -> Ciphertext:
         return self._jit("encrypt_pk", self._encrypt_pk_impl)(
@@ -292,18 +313,18 @@ class BGVContext:
         c0 = add_mod(
             add_mod(
                 mont_mul(u_ntt, pk.b_mont, self.p, self.pinv),
-                mont_mul(e0_ntt, self.t_mont, self.p, self.pinv),
+                mont_mul(e0_ntt, self.noise_mont, self.p, self.pinv),
                 self.p,
             ),
-            m_ntt,
+            self._msg_prep(m_ntt),
             self.p,
         )
         c1 = add_mod(
             mont_mul(u_ntt, pk.a_mont, self.p, self.pinv),
-            mont_mul(e1_ntt, self.t_mont, self.p, self.pinv),
+            mont_mul(e1_ntt, self.noise_mont, self.p, self.pinv),
             self.p,
         )
-        return Ciphertext(jnp.stack([c0, c1], axis=-3))
+        return Ciphertext(jnp.stack([c0, c1], axis=-3), self.default_form, 1)
 
     def decrypt_phase(self, ct: Ciphertext, sk: SecretKey) -> jnp.ndarray:
         name = f"decrypt_phase{ct.data.shape[-3]}"
@@ -327,9 +348,18 @@ class BGVContext:
     def decrypt(self, ct: Ciphertext, sk: SecretKey, length: int | None = None):
         """Full decrypt to slot values in [0, t). Returns (slots, noise_bits)."""
         phase = np.asarray(self.decrypt_phase(ct, sk), dtype=np.uint64)
-        coeffs, noise_bits = self._phase_to_mt(phase)
+        if ct.form == "bgv":
+            coeffs, noise_bits = self._phase_to_mt(phase)
+        else:
+            coeffs, noise_bits = self._phase_to_mt_bfv(phase)
+        if ct.scale != 1:
+            inv = pow(ct.scale, -1, self.t)
+            coeffs = (coeffs.astype(object) * inv) % self.t
         slots = self.encoder.decode(coeffs, length)
         return slots, noise_bits
+
+    def _phase_to_mt_bfv(self, phase: np.ndarray):
+        raise NotImplementedError("BFV-form decrypt requires BFVContext")
 
     def noise_bits_exact(self, ct: Ciphertext, sk: SecretKey) -> float:
         """Exact log2 |[phase]_q| via host CRT (tests/diagnostics only).
@@ -387,19 +417,32 @@ class BGVContext:
     # homomorphic ops (pure, jit-composable)
     # ------------------------------------------------------------------
     def ct_add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        return self._jit("ct_add", lambda x, y: Ciphertext(add_mod(x.data, y.data, self.p)))(a, b)
+        assert a.form == b.form and a.scale == b.scale, "mismatched ct forms"
+        return self._jit(
+            "ct_add",
+            lambda x, y: Ciphertext(add_mod(x.data, y.data, self.p), x.form, x.scale),
+        )(a, b)
 
     def ct_pt_mul(self, ct: Ciphertext, pt_mont: jnp.ndarray) -> Ciphertext:
         """ct x packed plaintext (Montgomery NTT form, (B?, L, N))."""
         return self._jit(
             "ct_pt_mul",
             lambda c, m: Ciphertext(
-                mont_mul(c.data, m[..., None, :, :], self.p, self.pinv)
+                mont_mul(c.data, m[..., None, :, :], self.p, self.pinv),
+                c.form,
+                c.scale,
             ),
         )(ct, pt_mont)
 
     def ct_ct_mul(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a = self._to_mul_form(a)
+        b = self._to_mul_form(b)
         return self._jit("ct_ct_mul", self._ct_ct_mul_impl)(a, b)
+
+    def _to_mul_form(self, ct: Ciphertext) -> Ciphertext:
+        """BGV contexts multiply in place; the BFV subclass converts
+        Delta-form operands to BGV form first."""
+        return ct
 
     def _ct_ct_mul_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """Tensor product -> 3-component ciphertext (call relinearize after)."""
@@ -414,7 +457,11 @@ class BGVContext:
             self.p,
         )
         d2 = mont_mul(a1, b1m, self.p, self.pinv)
-        return Ciphertext(jnp.stack([d0, d1, d2], axis=-3))
+        return Ciphertext(
+            jnp.stack([d0, d1, d2], axis=-3),
+            "bgv",
+            a.scale * b.scale % self.t,
+        )
 
     def relinearize(self, ct: Ciphertext, rlk: RelinKey) -> Ciphertext:
         return self._jit("relinearize", self._relinearize_impl)(ct, rlk)
@@ -429,7 +476,9 @@ class BGVContext:
         return Ciphertext(
             jnp.stack(
                 [add_mod(d0, ks0, self.p), add_mod(d1, ks1, self.p)], axis=-3
-            )
+            ),
+            ct.form,
+            ct.scale,
         )
 
     def _key_switch(self, poly_ntt: jnp.ndarray, ksk: RelinKey):
@@ -458,7 +507,9 @@ class BGVContext:
             c1 = ct.data[..., 1, :, :][..., perm]
             ks0, ks1 = self._key_switch(c1, gk)
             return Ciphertext(
-                jnp.stack([add_mod(c0, ks0, self.p), ks1], axis=-3)
+                jnp.stack([add_mod(c0, ks0, self.p), ks1], axis=-3),
+                ct.form,
+                ct.scale,
             )
 
         return self._jit(f"auto_{k}", impl)(ct, gk)

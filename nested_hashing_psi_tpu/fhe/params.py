@@ -51,11 +51,15 @@ def depth_for_cuckoo_table_size(each_cuckoo_table_size: int) -> int:
     return 10
 
 
-def default_num_limbs(t_bits: int, n_ct_mults: int, sum_len: int) -> int:
-    """Worst-case-ish BGV noise budget -> number of 31-bit limbs.
+def default_num_limbs(
+    t_bits: int, n_ct_mults: int, sum_len: int, scheme: str = "bgv"
+) -> int:
+    """Worst-case-ish noise budget -> number of 31-bit limbs.
 
     n_ct_mults: sequential ct x ct multiplications (nCuckooHF - 1 in the
     batched PIE). sum_len: length of the ct x pt inner-product accumulation.
+    BFV pays ~2*t_bits extra per multiplication (t-scaling bridge, fhe.bfv)
+    plus t_bits of headroom for the Delta gap.
     Validated empirically by tests/test_bgv.py noise-budget checks.
     """
     import math
@@ -66,7 +70,11 @@ def default_num_limbs(t_bits: int, n_ct_mults: int, sum_len: int) -> int:
     acc = ip
     for _ in range(max(0, n_ct_mults)):
         acc = acc + ip + logn
+        if scheme == "bfv":
+            acc += 2 * t_bits
     mask = acc + t_bits + logn
+    if scheme == "bfv":
+        mask += t_bits
     margin = 25
     return max(2, math.ceil((mask + margin) / LIMB_BITS))
 

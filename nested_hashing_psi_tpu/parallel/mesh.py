@@ -56,7 +56,7 @@ def sharded_pie_step(ctx: BGVContext, mesh: Mesh):
     def step(idx, minus, table, mask, rlk_b, rlk_a):
         return batched_pie_forward(
             ctx, RelinKey(b_mont=rlk_b, a_mont=rlk_a), idx, minus, table, mask
-        )
+        ).data
 
     fn = jax.jit(
         step,

@@ -49,7 +49,8 @@ def batched_pie_forward(
     """Depth-vectorized batched-PIE online step: used for the compile-check
     entry point, device-mesh sharding (depths = DP, limbs = TP; jnp path --
     GSPMD partitions it) and, with use_kernel=True, the fused Pallas
-    position-sum kernel on TPU. Returns result ciphertexts (D, 2, L, N)."""
+    position-sum kernel on TPU. Returns the result Ciphertext (D, 2, L, N)
+    carrying the scheme form and message scale."""
     H = idx_data.shape[0]
     if use_kernel:
         from nested_hashing_psi_tpu.ops.pie_kernels import indexed_inner_product
@@ -61,10 +62,13 @@ def batched_pie_forward(
         )  # (H, D, P, 2, L, N)
         ip = modsum(prod, ctx.p, axis=2)          # (H, D, 2, L, N)
     ip = add_mod(ip, minus_data[None, None], ctx.p)
-    acc = Ciphertext(ip[0])                       # batched over D
+    # intermediate ciphertexts carry the context's native form (bgv/bfv)
+    acc = Ciphertext(ip[0], ctx.default_form, 1)  # batched over D
     for h in range(1, H):
-        acc = ctx.ct_ct_mul_relin(acc, Ciphertext(ip[h]), rlk)
-    return mont_mul(acc.data, mask_pt[:, None], ctx.p, ctx.pinv)
+        acc = ctx.ct_ct_mul_relin(acc, Ciphertext(ip[h], ctx.default_form, 1), rlk)
+    return Ciphertext(
+        mont_mul(acc.data, mask_pt[:, None], ctx.p, ctx.pinv), acc.form, acc.scale
+    )
 
 
 class BatchedFHEPIE:
@@ -122,16 +126,14 @@ class BatchedFHEPIE:
         if self._run is None:
             use_kernel = jax.default_backend() == "tpu"
             self._run = jax.jit(
-                lambda i, m: Ciphertext(
-                    batched_pie_forward(
-                        self.ctx,
-                        self.rlk,
-                        i.data,
-                        m.data,
-                        self.table_pt,
-                        self.mask_pt,
-                        use_kernel=use_kernel,
-                    )
+                lambda i, m: batched_pie_forward(
+                    self.ctx,
+                    self.rlk,
+                    i.data,
+                    m.data,
+                    self.table_pt,
+                    self.mask_pt,
+                    use_kernel=use_kernel,
                 )
             )
         return self._run(index_cts, minus_ct)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
 from nested_hashing_psi_tpu.data.input import DataInputHandler
+from nested_hashing_psi_tpu.fhe.bfv import make_context
 from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, RelinKey
 from nested_hashing_psi_tpu.fhe.params import (
     SchemeParams,
@@ -52,16 +53,18 @@ PROTOCOL_NAME = "BatchedFHE"
 
 def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
     t = plaintext_modulus_for_bit_size(psi.bit_size)
+    scheme = "bgv" if psi.bgv else "bfv"  # reference default is BFV
     limbs = psi.num_limbs or default_num_limbs(
         t.bit_length(),
         ht.n_cuckoo_hash_functions - 1,
         ht.each_cuckoo_table_size,
+        scheme,
     )
     sp = SchemeParams(
         ring_dim=psi.ring_dim,
         plaintext_modulus=t,
         num_limbs=limbs,
-        scheme="bgv" if psi.bgv else "bgv",  # BFV scheduled; BGV backs both
+        scheme=scheme,
     )
     if psi.ring_dim == 16384:
         sp.validate_security()
@@ -82,7 +85,7 @@ class BatchedFHEPSIClient(PSIClientBase):
         self.hasher = TabulationHashing(
             p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
         )
-        self.ctx = BGVContext(_scheme_params(p, ht), seed=time.time_ns() % 2**31)
+        self.ctx = make_context(_scheme_params(p, ht), seed=time.time_ns() % 2**31)
         self.sk, self.pk = self.ctx.keygen()
         self.rlk = self.ctx.relin_keygen(self.sk)
         self.client_table = CuckooHashTable(
@@ -98,7 +101,11 @@ class BatchedFHEPSIClient(PSIClientBase):
         # context + keys to the server (cpp:217-247)
         sp = self.ctx.params
         self.channel.write_tensor(
-            np.array([sp.ring_dim, sp.plaintext_modulus, sp.num_limbs], np.uint64)
+            np.array(
+                [sp.ring_dim, sp.plaintext_modulus, sp.num_limbs,
+                 1 if sp.scheme == "bgv" else 0],
+                np.uint64,
+            )
         )
         self.channel.write_tensor(np.asarray(self.rlk.b_mont))
         self.channel.write_tensor(np.asarray(self.rlk.a_mont))
@@ -118,7 +125,11 @@ class BatchedFHEPSIClient(PSIClientBase):
     def run_online_phase(self) -> None:
         self.channel.write_tensor(np.asarray(self.minus_ct.data))
         self.channel.write_tensor(np.asarray(self.idx_ct.data))
-        result = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+        meta = self.channel.read_tensor()
+        form = "bgv" if int(meta[0]) else "bfv"
+        result = Ciphertext(
+            jnp.asarray(self.channel.read_tensor()), form, int(meta[1])
+        )
         slots, noise = self.ctx.decrypt(result, self.sk, length=self.ht.batch_slots)
         self.noise_bits = noise
         self.intersection_calculated = self.client_ops.extract_intersection(
@@ -137,9 +148,14 @@ class BatchedFHEPSIServer(PSIServerBase):
             p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
         )
         meta = self.channel.read_tensor()
-        ring_dim, t, limbs = (int(v) for v in meta)
-        self.ctx = BGVContext(
-            SchemeParams(ring_dim=ring_dim, plaintext_modulus=t, num_limbs=limbs),
+        ring_dim, t, limbs, is_bgv = (int(v) for v in meta)
+        self.ctx = make_context(
+            SchemeParams(
+                ring_dim=ring_dim,
+                plaintext_modulus=t,
+                num_limbs=limbs,
+                scheme="bgv" if is_bgv else "bfv",
+            ),
             seed=time.time_ns() % 2**31,
         )
         self.rlk = RelinKey(
@@ -163,6 +179,9 @@ class BatchedFHEPSIServer(PSIServerBase):
         result = self.pie.run(idx, minus)
         result_np = np.asarray(result.data)
         self.online_computation_us = (time.monotonic_ns() - begin) // 1000
+        self.channel.write_tensor(
+            np.array([1 if result.form == "bgv" else 0, result.scale], np.uint64)
+        )
         self.channel.write_tensor(result_np)
         if self.params.export_performance:
             self.export_measurements()

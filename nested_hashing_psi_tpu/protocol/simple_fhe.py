@@ -20,6 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
+from nested_hashing_psi_tpu.fhe.bfv import make_context
 from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, RelinKey
 from nested_hashing_psi_tpu.fhe.params import (
     SchemeParams,
@@ -40,11 +41,14 @@ PROTOCOL_NAME = "SimpleFHE"
 
 def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
     t = plaintext_modulus_for_bit_size(psi.bit_size)
+    scheme = "bgv" if psi.bgv else "bfv"
     # no ct x ct; +2 limbs of rotation key-switch slack
     limbs = psi.num_limbs or default_num_limbs(
-        t.bit_length(), 0, ht.each_cuckoo_table_size + 1
+        t.bit_length(), 0, ht.each_cuckoo_table_size + 1, scheme
     ) + 2
-    sp = SchemeParams(ring_dim=psi.ring_dim, plaintext_modulus=t, num_limbs=limbs)
+    sp = SchemeParams(
+        ring_dim=psi.ring_dim, plaintext_modulus=t, num_limbs=limbs, scheme=scheme
+    )
     if psi.ring_dim == 16384:
         sp.validate_security()
     return sp
@@ -60,7 +64,7 @@ class SimpleFHEPSIClient(PSIClientBase):
         self.hasher = TabulationHashing(
             p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
         )
-        self.ctx = BGVContext(_scheme_params(p, ht), seed=time.time_ns() % 2**31)
+        self.ctx = make_context(_scheme_params(p, ht), seed=time.time_ns() % 2**31)
         self.sk, self.pk = self.ctx.keygen()
         els = self.ctx.sum_ladder_elements()
         self.gks = self.ctx.galois_keygen(self.sk, els)
@@ -76,7 +80,11 @@ class SimpleFHEPSIClient(PSIClientBase):
         )
         sp = self.ctx.params
         self.channel.write_tensor(
-            np.array([sp.ring_dim, sp.plaintext_modulus, sp.num_limbs], np.uint64)
+            np.array(
+                [sp.ring_dim, sp.plaintext_modulus, sp.num_limbs,
+                 1 if sp.scheme == "bgv" else 0],
+                np.uint64,
+            )
         )
         self.channel.write_tensor(np.array(els, np.int64))
         self.channel.write_tensor(
@@ -101,10 +109,14 @@ class SimpleFHEPSIClient(PSIClientBase):
 
     def run_online_phase(self) -> None:
         self.channel.write_tensor(np.asarray(self.idx_ct.data))
-        result = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+        result = Ciphertext(
+            jnp.asarray(self.channel.read_tensor()), self.ctx.default_form, 1
+        )
         n_pies = result.data.shape[0]
         flat = Ciphertext(
-            result.data.reshape(-1, 2, self.ctx.L, self.ctx.n)
+            result.data.reshape(-1, 2, self.ctx.L, self.ctx.n),
+            self.ctx.default_form,
+            1,
         )
         slots, noise = self.ctx.decrypt(flat, self.sk, length=self.ht.max_items_per_position)
         self.noise_bits = noise
@@ -125,9 +137,14 @@ class SimpleFHEPSIServer(PSIServerBase):
             p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
         )
         meta = self.channel.read_tensor()
-        ring_dim, t, limbs = (int(v) for v in meta)
-        self.ctx = BGVContext(
-            SchemeParams(ring_dim=ring_dim, plaintext_modulus=t, num_limbs=limbs),
+        ring_dim, t, limbs, is_bgv = (int(v) for v in meta)
+        self.ctx = make_context(
+            SchemeParams(
+                ring_dim=ring_dim,
+                plaintext_modulus=t,
+                num_limbs=limbs,
+                scheme="bgv" if is_bgv else "bfv",
+            ),
             seed=time.time_ns() % 2**31,
         )
         els = [int(k) for k in self.channel.read_tensor()]

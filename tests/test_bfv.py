@@ -1,0 +1,83 @@
+"""BFV scheme tests: Delta-encoding roundtrips, hom ops, the t-scaling
+multiplication bridge, and scale-corrected decryption."""
+
+import numpy as np
+import pytest
+
+from nested_hashing_psi_tpu.fhe.bfv import BFVContext, make_context
+from nested_hashing_psi_tpu.fhe.params import SchemeParams
+
+
+def ctx_small(t=65537, n=64, limbs=8, seed=41):
+    return BFVContext(
+        SchemeParams(ring_dim=n, plaintext_modulus=t, num_limbs=limbs, scheme="bfv"),
+        seed=seed,
+    )
+
+
+def test_factory():
+    assert isinstance(
+        make_context(SchemeParams(ring_dim=32, num_limbs=4, scheme="bfv")),
+        BFVContext,
+    )
+
+
+def test_bfv_encrypt_decrypt():
+    ctx = ctx_small()
+    sk, pk = ctx.keygen()
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 65537, size=64)
+    for enc in (lambda m: ctx.encrypt_sk(m, sk), lambda m: ctx.encrypt_pk(m, pk)):
+        ct = enc(ctx.make_plaintext_rns(vals))
+        assert ct.form == "bfv"
+        slots, noise = ctx.decrypt(ct, sk)
+        np.testing.assert_array_equal(np.asarray(slots, np.int64), vals)
+
+
+def test_bfv_add_and_ct_pt():
+    ctx = ctx_small(seed=43)
+    sk, _ = ctx.keygen()
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 65537, size=64)
+    b = rng.integers(0, 65537, size=64)
+    ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
+    cb = ctx.encrypt_sk(ctx.make_plaintext_rns(b), sk)
+    s, _ = ctx.decrypt(ctx.ct_add(ca, cb), sk)
+    np.testing.assert_array_equal(np.asarray(s, np.int64), (a + b) % 65537)
+    m, _ = ctx.decrypt(ctx.ct_pt_mul(ca, ctx.make_plaintext_mont(b)), sk)
+    np.testing.assert_array_equal(
+        np.asarray(m, np.int64), (a.astype(object) * b) % 65537
+    )
+
+
+def test_bfv_ct_ct_mul_via_bridge():
+    ctx = ctx_small(seed=47, limbs=10)
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 65537, size=64)
+    b = rng.integers(0, 65537, size=64)
+    ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
+    cb = ctx.encrypt_sk(ctx.make_plaintext_rns(b), sk)
+    prod = ctx.ct_ct_mul_relin(ca, cb, rlk)
+    assert prod.form == "bgv" and prod.scale != 1
+    slots, noise = ctx.decrypt(prod, sk)
+    np.testing.assert_array_equal(
+        np.asarray(slots, np.int64), (a.astype(object) * b) % 65537
+    )
+    assert noise < 10 * 31 - 10
+
+
+def test_bfv_zero_slots_survive_pipeline():
+    """The PIE's zero test: (a - a) * b stays zero through the bridge."""
+    ctx = ctx_small(seed=53, limbs=10)
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    a = np.arange(2, 66)
+    ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
+    cneg = ctx.encrypt_sk(ctx.make_plaintext_rns([-int(v) for v in a]), sk)
+    diff = ctx.ct_add(ca, cneg)  # Enc(0) in every slot
+    other = ctx.encrypt_sk(ctx.make_plaintext_rns(np.arange(1, 65)), sk)
+    prod = ctx.ct_ct_mul_relin(diff, other, rlk)
+    slots, _ = ctx.decrypt(prod, sk)
+    assert all(int(v) == 0 for v in slots)
