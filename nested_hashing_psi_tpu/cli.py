@@ -12,6 +12,8 @@ Performance-Evaluation/Parameters1.txt replay verbatim.
 
 from __future__ import annotations
 
+import dataclasses
+import os
 import sys
 
 from nested_hashing_psi_tpu.config import build_arg_parser, params_from_args
@@ -19,6 +21,13 @@ from nested_hashing_psi_tpu.protocol.runner import run_client_tcp, run_server_tc
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even when a sitecustomize pre-registered a backend.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in ("server", "client"):
         print("usage: cli.py {server|client} [flags]", file=sys.stderr)
@@ -26,6 +35,11 @@ def main(argv=None):
     role = argv.pop(0)
     args = build_arg_parser().parse_args(argv)
     psi, ht = params_from_args(args)
+    # Framework-extension env overrides (testing small rings).
+    if os.environ.get("NHPSI_RING_DIM"):
+        psi = dataclasses.replace(psi, ring_dim=int(os.environ["NHPSI_RING_DIM"]))
+    if os.environ.get("NHPSI_NUM_LIMBS"):
+        psi = dataclasses.replace(psi, num_limbs=int(os.environ["NHPSI_NUM_LIMBS"]))
     if role == "server":
         run_server_tcp(psi, ht)
         return 0

@@ -26,8 +26,9 @@ DEFAULT_TILE_N = 2048
 
 def _ip_kernel(p_ref, pinv_ref, idx_ref, pt_ref, out_ref):
     P = pt_ref.shape[2]
-    p = p_ref[0, 0]
-    pinv = pinv_ref[0, 0]
+    l = pl.program_id(2)
+    p = p_ref[l, 0]
+    pinv = pinv_ref[l, 0]
 
     def body(j, acc):
         prod = mont_mul(idx_ref[0, j, :, 0, :], pt_ref[0, 0, j, 0, :][None], p, pinv)
@@ -60,8 +61,8 @@ def indexed_inner_product(
         _ip_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda h, d, l, nt: (l, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda h, d, l, nt: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, P, k, 1, tile_n), lambda h, d, l, nt: (h, 0, 0, l, nt)
             ),
