@@ -74,7 +74,6 @@ def dist_ntt_fns(plan: FourStepPlan, mesh: Mesh, axis: str, ndim: int = 3):
             mesh=mesh,
             in_specs=(spec_m2, spec_tm2),
             out_specs=spec_m1,
-            check_rep=False,
         )
     )
     inv = jax.jit(
@@ -83,7 +82,6 @@ def dist_ntt_fns(plan: FourStepPlan, mesh: Mesh, axis: str, ndim: int = 3):
             mesh=mesh,
             in_specs=(spec_m1, spec_tm2),
             out_specs=spec_m2,
-            check_rep=False,
         )
     )
 
