@@ -119,7 +119,11 @@ def _matmul_left(M, x, p, pinv):
         term = mont_mul(x[..., k, :][..., None, :], M[:, :, k][..., None], p, pinv)
         return add_mod(acc, term, p)
 
-    acc = jnp.zeros(x.shape[:-2] + (m_out, x.shape[-1]), jnp.uint32)
+    if m_out == x.shape[-2]:
+        # derive from x so shard_map's varying-axis types match in the loop
+        acc = x * jnp.uint32(0)
+    else:
+        acc = jnp.zeros(x.shape[:-2] + (m_out, x.shape[-1]), jnp.uint32)
     return jax.lax.fori_loop(0, M.shape[2], body, acc)
 
 
@@ -131,7 +135,10 @@ def _matmul_right(x, M, p, pinv):
         term = mont_mul(x[..., k][..., None], M[:, k, :][:, None, :], p, pinv)
         return add_mod(acc, term, p)
 
-    acc = jnp.zeros(x.shape[:-1] + (m_out,), jnp.uint32)
+    if m_out == x.shape[-1]:
+        acc = x * jnp.uint32(0)
+    else:
+        acc = jnp.zeros(x.shape[:-1] + (m_out,), jnp.uint32)
     return jax.lax.fori_loop(0, M.shape[1], body, acc)
 
 
