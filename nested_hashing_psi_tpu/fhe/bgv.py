@@ -484,13 +484,11 @@ class BGVContext:
     def _key_switch(self, poly_ntt: jnp.ndarray, ksk: RelinKey):
         """Key-switch a polynomial under the gadget key: returns (d0, d1)
         with d0 + d1*s = poly * <key target> (+ small noise)."""
+        from nested_hashing_psi_tpu.ops.modmath import modsum
+
         dig = self._rns_decompose(poly_ntt)  # (..., L_dig, L, N) NTT domain
-        d0 = d1 = None
-        for kdig in range(self.L):
-            t0 = mont_mul(dig[..., kdig, :, :], ksk.b_mont[kdig], self.p, self.pinv)
-            t1 = mont_mul(dig[..., kdig, :, :], ksk.a_mont[kdig], self.p, self.pinv)
-            d0 = t0 if d0 is None else add_mod(d0, t0, self.p)
-            d1 = t1 if d1 is None else add_mod(d1, t1, self.p)
+        d0 = modsum(mont_mul(dig, ksk.b_mont, self.p, self.pinv), self.p, axis=-3)
+        d1 = modsum(mont_mul(dig, ksk.a_mont, self.p, self.pinv), self.p, axis=-3)
         return d0, d1
 
     # ------------------------------------------------------------------

@@ -8,11 +8,13 @@ A naive jnp formulation materializes the (H, D, P, 2, L, N) product tensor in
 HBM before reducing; this kernel keeps a (2, TN) accumulator in VMEM and
 streams the packed-table blocks through double-buffered pipeline stages, so
 the table tensor is read exactly once -- the HBM speed-of-light for this op.
+
+Kernel-internal layout puts the RNS limb axis in front (grid dimension);
+TPU block specs require the last two block dims to be full-size or aligned,
+so the trailing axes are (ciphertext-component | position, N-tile).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,18 +27,18 @@ DEFAULT_TILE_N = 2048
 
 
 def _ip_kernel(p_ref, pinv_ref, idx_ref, pt_ref, out_ref):
-    P = pt_ref.shape[2]
-    l = pl.program_id(2)
+    P = pt_ref.shape[3]
+    l = pl.program_id(0)
     p = p_ref[l, 0]
     pinv = pinv_ref[l, 0]
 
     def body(j, acc):
-        prod = mont_mul(idx_ref[0, j, :, 0, :], pt_ref[0, 0, j, 0, :][None], p, pinv)
+        prod = mont_mul(idx_ref[0, 0, j, :, :], pt_ref[0, 0, 0, j, :][None], p, pinv)
         return add_mod(acc, prod, p)
 
-    acc = jnp.zeros((out_ref.shape[2], out_ref.shape[4]), jnp.uint32)
+    acc = jnp.zeros((out_ref.shape[3], out_ref.shape[4]), jnp.uint32)
     acc = jax.lax.fori_loop(0, P, body, acc)
-    out_ref[0, 0, :, 0, :] = acc
+    out_ref[0, 0, 0, :, :] = acc
 
 
 def indexed_inner_product(
@@ -56,26 +58,30 @@ def indexed_inner_product(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    grid = (H, D, L, N // tile_n)
-    return pl.pallas_call(
+    idx_t = idx.transpose(3, 0, 1, 2, 4)   # (L, H, P, 2, N)
+    pt_t = pt.transpose(3, 0, 1, 2, 4)     # (L, H, D, P, N)
+
+    grid = (L, H, D, N // tile_n)
+    out = pl.pallas_call(
         _ip_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, P, k, 1, tile_n), lambda h, d, l, nt: (h, 0, 0, l, nt)
+                (1, 1, P, k, tile_n), lambda l, h, d, nt: (l, h, 0, 0, nt)
             ),
             pl.BlockSpec(
-                (1, 1, P, 1, tile_n), lambda h, d, l, nt: (h, d, 0, l, nt)
+                (1, 1, 1, P, tile_n), lambda l, h, d, nt: (l, h, d, 0, nt)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, k, 1, tile_n), lambda h, d, l, nt: (h, d, 0, l, nt)
+            (1, 1, 1, k, tile_n), lambda l, h, d, nt: (l, h, d, 0, nt)
         ),
-        out_shape=jax.ShapeDtypeStruct((H, D, k, L, N), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, H, D, k, N), jnp.uint32),
         interpret=interpret,
-    )(p, pinv, idx, pt)
+    )(p, pinv, idx_t, pt_t)
+    return out.transpose(1, 2, 3, 0, 4)    # (H, D, 2, L, N)
 
 
 def indexed_inner_product_jnp(idx, pt, p, pinv):
