@@ -498,7 +498,9 @@ class BGVContext:
         """sigma_k(ct): slot permutation per fhe.galois + key switch."""
         from nested_hashing_psi_tpu.fhe.galois import automorphism_ntt_perm
 
-        perm = jnp.asarray(automorphism_ntt_perm(self.n, k))
+        # keep as numpy: converted to a fresh constant at every trace (a jnp
+        # constant created inside one jit trace must not leak into another)
+        perm = automorphism_ntt_perm(self.n, k)
 
         def impl(ct, gk):
             c0 = ct.data[..., 0, :, :][..., perm]

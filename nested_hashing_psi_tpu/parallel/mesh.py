@@ -48,6 +48,50 @@ def pie_shardings(mesh: Mesh) -> dict[str, NamedSharding]:
     )
 
 
+def sharded_simple_pie_step(pie, mesh: Mesh):
+    """SimpleFHE PIE online step sharded over positions (outer cells).
+
+    This is the bucket-affinity (EP-analogue) axis from SURVEY section 2.3:
+    each device owns the inner tables of its outer-cell slice and processes
+    the matching client index ciphertexts locally; no collectives needed
+    (results concatenate by construction). Uses the full ('dp','tp')-flattened
+    mesh as one axis.
+    """
+    devices = mesh.devices.reshape(-1)
+    flat = Mesh(devices, ("pies",))
+    ns = lambda *spec: NamedSharding(flat, P(*spec))
+    sh = dict(
+        idx=ns("pies", None, None, None, None),     # (nPies, H, 2, L, N)
+        table=ns("pies", None, None, None, None),   # (nPies, H, B, L, N)
+        mask=ns("pies", None, None, None),          # (nPies, H, L, N)
+        out=ns("pies", None, None, None, None),
+    )
+
+    import jax.numpy as jnp
+
+    from nested_hashing_psi_tpu.fhe.bgv import Ciphertext
+
+    table = jax.device_put(pie.table_pt, sh["table"])
+    mask = jax.device_put(pie.mask_pt, sh["mask"])
+    hf_perm = jax.device_put(jnp.asarray(pie.hf_perm), ns("pies", None))
+
+    def step(idx_data):
+        ctx = pie.ctx
+        from nested_hashing_psi_tpu.ops.modmath import modsum, mont_mul
+
+        prod = mont_mul(
+            idx_data[:, :, None], table[:, :, :, None], ctx.p, ctx.pinv
+        )
+        summed = ctx.eval_sum_all_slots(Ciphertext(prod), pie.gks).data
+        sel = mont_mul(summed, jnp.asarray(pie.sel_pt)[:, None], ctx.p, ctx.pinv)
+        merged = modsum(sel, ctx.p, axis=2)
+        masked = mont_mul(merged, mask[:, :, None], ctx.p, ctx.pinv)
+        return jnp.take_along_axis(masked, hf_perm[:, :, None, None, None], axis=1)
+
+    fn = jax.jit(step, in_shardings=(sh["idx"],), out_shardings=sh["out"])
+    return fn, sh
+
+
 def sharded_pie_step(ctx: BGVContext, mesh: Mesh):
     """Returns (jitted_fn, shardings): the full online PIE step jitted over
     the mesh with input/output shardings applied."""

@@ -1,0 +1,85 @@
+"""Mesh sharding tests: batched PIE (dp x tp) and SimpleFHE PIE (positions)
+produce results identical to the unsharded pipelines on an 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext
+from nested_hashing_psi_tpu.fhe.params import SchemeParams
+from nested_hashing_psi_tpu.hashing import (
+    CuckooHashTable,
+    HierarchicalCuckooHashTable,
+    TabulationHashing,
+)
+from nested_hashing_psi_tpu.hashing.tabulation import items_from_ints
+from nested_hashing_psi_tpu.parallel.mesh import (
+    make_mesh,
+    sharded_pie_step,
+    sharded_simple_pie_step,
+)
+
+
+def test_sharded_batched_pie_matches_unsharded():
+    from nested_hashing_psi_tpu.pie.batched_fhe import (
+        BatchedFHEClientOps,
+        BatchedFHEPIE,
+    )
+
+    hasher = TabulationHashing(55, 4)
+    hct = HierarchicalCuckooHashTable(
+        hasher, each_simple_table_size=16, each_cuckoo_table_size=8,
+        n_simple_hash_functions=2, n_cuckoo_hash_functions=2,
+        max_items_per_position=8, seed=1,
+    )
+    hct.insert_all(items_from_ints(list(range(50, 200))))
+    ctx = BGVContext(SchemeParams(ring_dim=64, plaintext_modulus=65537, num_limbs=8), seed=2)
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=3)
+    ct_table = CuckooHashTable(hasher, 16, 2, max_items_per_position=1, seed=4)
+    ct_table.insert_all(items_from_ints([55, 500]))
+    ops = BatchedFHEClientOps(ctx, ct_table, 2, 2, 8)
+    idx, minus = ops.encrypt_query(sk)
+
+    expected = np.asarray(pie.run(idx, minus).data)
+
+    mesh = make_mesh(8, tp=2)
+    fn, sh = sharded_pie_step(ctx, mesh)
+    out = fn(
+        jax.device_put(idx.data, sh["idx"]),
+        jax.device_put(minus.data, sh["minus"]),
+        jax.device_put(pie.table_pt, sh["table"]),
+        jax.device_put(pie.mask_pt, sh["mask"]),
+        jax.device_put(rlk.b_mont, sh["rlk"]),
+        jax.device_put(rlk.a_mont, sh["rlk"]),
+    )
+    np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+def test_sharded_simple_pie_matches_unsharded():
+    from nested_hashing_psi_tpu.pie.simple_fhe import SimpleFHEClientOps, SimpleFHEPIE
+
+    hasher = TabulationHashing(66, 4)
+    hct = HierarchicalCuckooHashTable(
+        hasher, each_simple_table_size=8, each_cuckoo_table_size=6,
+        n_simple_hash_functions=2, n_cuckoo_hash_functions=2,
+        max_items_per_position=4, seed=5,
+    )
+    hct.insert_all(items_from_ints(list(range(50, 120))))
+    ctx = BGVContext(SchemeParams(ring_dim=32, plaintext_modulus=65537, num_limbs=8), seed=6)
+    sk, _ = ctx.keygen()
+    gks = ctx.galois_keygen(sk, ctx.sum_ladder_elements())
+    pie = SimpleFHEPIE(ctx, hct, gks, mask_seed=7)
+    ct_table = CuckooHashTable(hasher, 8, 2, max_items_per_position=1, seed=8)
+    ct_table.insert_all(items_from_ints([60, 61]))
+    ops = SimpleFHEClientOps(ctx, ct_table, 2, 2, 6, 4)
+    idx = ops.encrypt_query(sk)
+
+    expected = np.asarray(pie.run(idx).data)
+
+    mesh = make_mesh(8)  # 16 positions over 8 devices
+    fn, sh = sharded_simple_pie_step(pie, mesh)
+    out = fn(jax.device_put(idx.data, sh["idx"]))
+    np.testing.assert_array_equal(np.asarray(out), expected)
