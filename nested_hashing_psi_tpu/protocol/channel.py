@@ -107,6 +107,9 @@ class TCPChannel(Channel):
         super().__init__()
         self._sock = sock
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        # blocking like the reference's synchronized channel: phases may
+        # legitimately compute for minutes between messages
+        self._sock.settimeout(None)
 
     @classmethod
     def listen(cls, ip: str, port: int, timeout: float = 600.0) -> "TCPChannel":
