@@ -83,6 +83,30 @@ class PackedEncoder:
 
         Accepts (..., m) arrays or lists; pads slots beyond m with zeros.
         """
+        # fast path: values fit int64 and t < 2^62 -> pure uint64 numpy
+        v64 = None
+        if self.t < 1 << 62:
+            try:
+                v64 = np.asarray(values, dtype=np.int64)
+            except (OverflowError, TypeError, ValueError):
+                v64 = None
+        if v64 is not None:
+            one_d = v64.ndim == 1
+            if one_d:
+                v64 = v64[None, :]
+            batch, m = v64.shape[0], v64.shape[-1]
+            assert m <= self.n
+            t = np.int64(self.t)
+            slots = np.zeros((batch, self.n), dtype=np.uint64)
+            slots[:, :m] = ((v64 % t) + t) % t
+            eval_vec = np.zeros_like(slots)
+            eval_vec[:, self._s2n] = slots
+            if self.small:
+                coeffs = intt_numpy(eval_vec, self.t, self.psi)
+            else:
+                coeffs = self._big_ntt(eval_vec, inverse=True)
+            return coeffs[0] if one_d else coeffs
+
         v = np.asarray(values, dtype=object)
         one_d = v.ndim == 1
         if one_d:
@@ -109,26 +133,27 @@ class PackedEncoder:
         if self.small:
             evals = ntt_numpy(c.astype(np.uint64), self.t, self.psi)
         else:
-            evals = self._big_ntt(c.astype(object), inverse=False)
+            evals = self._big_ntt(c, inverse=False)
         slots = evals[..., self._s2n]
         if length is not None:
             slots = slots[..., :length]
         return slots[0] if one_d else slots
 
     def _big_ntt(self, x: np.ndarray, inverse: bool) -> np.ndarray:
-        """NTT mod big t: native C++ (__int128) when available, else exact
-        object-array arithmetic."""
+        """NTT mod big t (< 2^63): native C++ (__int128) when available, else
+        exact object-array arithmetic. Returns uint64 when possible."""
         from nested_hashing_psi_tpu.utils import native
 
-        out = native.ntt_mod_t(
-            np.array([[int(v) for v in row] for row in x], dtype=np.uint64),
-            self.t,
-            self.psi,
-            inverse,
-        )
+        if x.dtype == object:
+            x64 = np.array(
+                [[int(v) for v in row] for row in x], dtype=np.uint64
+            )
+        else:
+            x64 = x.astype(np.uint64)
+        out = native.ntt_mod_t(x64, self.t, self.psi, inverse)
         if out is not None:
-            return out.astype(object)
-        return _ntt_object(x, self.t, self.psi, inverse=inverse)
+            return out
+        return _ntt_object(x.astype(object), self.t, self.psi, inverse=inverse)
 
     def centered(self, coeffs: np.ndarray) -> np.ndarray:
         """Lift [0,t) coefficients to centered representatives (object ints)."""
@@ -137,6 +162,16 @@ class PackedEncoder:
 
     def to_rns(self, coeffs: np.ndarray, q_primes: tuple[int, ...]) -> np.ndarray:
         """Centered-lift coeffs mod t, reduce mod each q_i -> (..., L, n) uint64."""
-        c = self.centered(coeffs)
-        out = np.stack([(c % p).astype(np.uint64) for p in q_primes], axis=-2)
-        return out
+        c = np.asarray(coeffs)
+        if c.dtype != object and self.t < 1 << 62:
+            # uint64 fast path: (x - t) mod p == (x mod p + p - t mod p) mod p
+            c = c.astype(np.uint64)
+            big = c > np.uint64(self.t // 2)
+            rows = []
+            for p in q_primes:
+                r = c % np.uint64(p)
+                r_neg = (r + np.uint64(p - self.t % p)) % np.uint64(p)
+                rows.append(np.where(big, r_neg, r))
+            return np.stack(rows, axis=-2)
+        cc = self.centered(c)
+        return np.stack([(cc % p).astype(np.uint64) for p in q_primes], axis=-2)
