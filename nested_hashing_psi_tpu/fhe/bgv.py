@@ -35,6 +35,7 @@ from nested_hashing_psi_tpu.fhe.encoding import PackedEncoder
 from nested_hashing_psi_tpu.fhe.params import SchemeParams
 from nested_hashing_psi_tpu.ops.modmath import (
     add_mod,
+    mont_constants,
     mont_mul,
     neg_mod,
     sub_mod,
@@ -490,6 +491,98 @@ class BGVContext:
         d0 = modsum(mont_mul(dig, ksk.b_mont, self.p, self.pinv), self.p, axis=-3)
         d1 = modsum(mont_mul(dig, ksk.a_mont, self.p, self.pinv), self.p, axis=-3)
         return d0, d1
+
+    # ------------------------------------------------------------------
+    # modulus switching (leveled BGV)
+    # ------------------------------------------------------------------
+    def drop_limb_context(self) -> "BGVContext":
+        """Context over q' = q / q_last (shares scheme params otherwise)."""
+        if not hasattr(self, "_child_ctx"):
+            from dataclasses import replace
+
+            self._child_ctx = type(self)(
+                replace(self.params, num_limbs=self.L - 1), seed=0
+            )
+        return self._child_ctx
+
+    def shrink_key(self, sk: SecretKey) -> SecretKey:
+        return SecretKey(s_mont=sk.s_mont[:-1], s_ntt=sk.s_ntt[:-1])
+
+    def mod_switch(self, ct: Ciphertext) -> Ciphertext:
+        """BGV modulus switch: drop the last limb q_l, scaling noise by
+        ~1/q_l. c' = (c - delta)/q_l with delta = c mod q_l corrected to
+        0 mod t. Returns a ciphertext for drop_limb_context().
+        Requires t < 2^31 (device mod-t arithmetic); BGV form only."""
+        assert ct.form == "bgv", "mod switch operates on BGV-form phases"
+        assert self.t < 2**31
+        self.drop_limb_context()  # build eagerly: constants must not be
+        return self._jit("mod_switch", self._mod_switch_impl)(ct)  # traced
+
+    def _mod_switch_impl(self, ct: Ciphertext) -> Ciphertext:
+        child = self.drop_limb_context()
+        L, t = self.L, jnp.uint32(self.t)
+        ql = self.q_primes[-1]
+        coeffs = intt(ct.data, self.plan)                # (..., k, L, N)
+        r = coeffs[..., L - 1, :]                        # [c]_{q_l} in [0, q_l)
+        big = r > jnp.uint32(ql // 2)                    # centered sign
+
+        # u = [-r_c * q_l^{-1}]_t in [0, t), r_c the centered residue
+        t_pinv, _ = mont_constants(self.t)
+        ql_inv_t = pow(ql, -1, self.t)
+        r_mod_t = r % t
+        r_c_mod_t = jnp.where(
+            big, sub_mod(r_mod_t, jnp.uint32(ql % self.t), t), r_mod_t
+        )
+        neg_r_qlinv = mont_mul(
+            neg_mod(r_c_mod_t, t),
+            jnp.uint32((ql_inv_t << 32) % self.t),
+            t,
+            jnp.uint32(t_pinv),
+        )
+        u_big = neg_r_qlinv > jnp.uint32(self.t // 2)    # centered sign of u
+
+        p = self.p[:-1]
+        pinv = self.pinv[:-1]
+        out_limbs = []
+        for j in range(L - 1):
+            qj = self.q_primes[j]
+            # delta mod q_j = r_c + q_l * u_c  (r_c, u_c centered)
+            r_j = jnp.where(
+                big,
+                sub_mod(r % jnp.uint32(qj), jnp.uint32(ql % qj), jnp.uint32(qj)),
+                r % jnp.uint32(qj),
+            )
+            u_j = jnp.where(
+                u_big,
+                sub_mod(
+                    neg_r_qlinv % jnp.uint32(qj),
+                    jnp.uint32(self.t % qj),
+                    jnp.uint32(qj),
+                ),
+                neg_r_qlinv % jnp.uint32(qj),
+            )
+            delta_j = add_mod(
+                r_j,
+                mont_mul(
+                    u_j,
+                    jnp.uint32((ql % qj << 32) % qj),
+                    jnp.uint32(qj),
+                    self.pinv[j, 0],
+                ),
+                jnp.uint32(qj),
+            )
+            diff = sub_mod(coeffs[..., j, :], delta_j, jnp.uint32(qj))
+            scaled = mont_mul(
+                diff,
+                jnp.uint32((pow(ql, -1, qj) << 32) % qj),
+                jnp.uint32(qj),
+                self.pinv[j, 0],
+            )
+            out_limbs.append(scaled)
+        new_coeffs = jnp.stack(out_limbs, axis=-2)
+        # the message picks up a factor q_l^{-1} mod t; track it in scale
+        new_scale = ct.scale * pow(ql, -1, self.t) % self.t
+        return Ciphertext(ntt(new_coeffs, child.plan), ct.form, new_scale)
 
     # ------------------------------------------------------------------
     # automorphisms / rotations (EvalRotate, EvalSum equivalents)
