@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--server-log2", type=int, default=24)
     ap.add_argument("--client-log2", type=int, default=12)
     ap.add_argument("--bitSize", type=int, default=32)
+    ap.add_argument("--bgv", action="store_true")
     args = ap.parse_args()
 
     from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
@@ -46,6 +47,8 @@ def main():
         bit_size=args.bitSize,
         fhe=True,
         batched=True,
+        bgv=args.bgv,
+        verbose=True,
     )
     ht = HashTableParams(
         each_simple_table_size=simple_size,

@@ -107,8 +107,8 @@ class BatchedFHEPSIClient(PSIClientBase):
                 np.uint64,
             )
         )
-        self.channel.write_tensor(np.asarray(self.rlk.b_mont))
-        self.channel.write_tensor(np.asarray(self.rlk.a_mont))
+        self.channel.write_tensor(self.rlk.b_mont)
+        self.channel.write_tensor(self.rlk.a_mont)
 
     def run_offline_phase(self) -> None:
         self.client_table.insert_all(self.client_set)
@@ -120,11 +120,11 @@ class BatchedFHEPSIClient(PSIClientBase):
             self.ht.each_cuckoo_table_size,
         )
         self.idx_ct, self.minus_ct = self.client_ops.encrypt_query(self.sk)
-        np.asarray(self.idx_ct.data)  # block: offline phase owns this cost
+        self.idx_ct.data.block_until_ready()  # offline phase owns this cost
 
     def run_online_phase(self) -> None:
-        self.channel.write_tensor(np.asarray(self.minus_ct.data))
-        self.channel.write_tensor(np.asarray(self.idx_ct.data))
+        self.channel.write_tensor(self.minus_ct.data)
+        self.channel.write_tensor(self.idx_ct.data)
         meta = self.channel.read_tensor()
         form = "bgv" if int(meta[0]) else "bfv"
         result = Ciphertext(
@@ -177,11 +177,11 @@ class BatchedFHEPSIServer(PSIServerBase):
         idx = Ciphertext(jnp.asarray(self.channel.read_tensor()))
         begin = time.monotonic_ns()
         result = self.pie.run(idx, minus)
-        result_np = np.asarray(result.data)
+        result.data.block_until_ready()
         self.online_computation_us = (time.monotonic_ns() - begin) // 1000
         self.channel.write_tensor(
             np.array([1 if result.form == "bgv" else 0, result.scale], np.uint64)
         )
-        self.channel.write_tensor(result_np)
+        self.channel.write_tensor(result.data)
         if self.params.export_performance:
             self.export_measurements()

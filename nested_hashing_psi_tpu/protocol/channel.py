@@ -59,8 +59,10 @@ class Channel:
     def read_msg(self) -> bytes:
         raise NotImplementedError
 
-    def write_tensor(self, arr: np.ndarray) -> None:
-        self.write_msg(tensor_to_bytes(arr))
+    def write_tensor(self, arr) -> None:
+        """Accepts numpy or device (jax) arrays; device arrays are pulled to
+        host here (the serialization boundary)."""
+        self.write_msg(tensor_to_bytes(np.asarray(arr)))
 
     def read_tensor(self) -> np.ndarray:
         return tensor_from_bytes(self.read_msg())
@@ -74,16 +76,33 @@ class Channel:
 
 
 class LoopbackChannel(Channel):
-    def __init__(self, inbox: "queue.Queue[bytes]", outbox: "queue.Queue[bytes]"):
+    """In-process channel. With pass_device_arrays=True, device tensors move
+    by reference (wire bytes still counted) -- both parties share one process
+    and device, so serializing through host memory only measures the
+    host<->device link, not the protocol. Two-process TCP remains the honest
+    wire path."""
+
+    def __init__(
+        self,
+        inbox: "queue.Queue",
+        outbox: "queue.Queue",
+        pass_device_arrays: bool = False,
+    ):
         super().__init__()
         self._inbox = inbox
         self._outbox = outbox
+        self._pass_device = pass_device_arrays
 
     @classmethod
-    def pair(cls) -> tuple["LoopbackChannel", "LoopbackChannel"]:
+    def pair(
+        cls, pass_device_arrays: bool = False
+    ) -> tuple["LoopbackChannel", "LoopbackChannel"]:
         a: queue.Queue = queue.Queue()
         b: queue.Queue = queue.Queue()
-        return cls(a, b), cls(b, a)
+        return (
+            cls(a, b, pass_device_arrays),
+            cls(b, a, pass_device_arrays),
+        )
 
     def write_msg(self, payload: bytes) -> None:
         self.bytes_out += len(payload) + 8
@@ -91,8 +110,27 @@ class LoopbackChannel(Channel):
 
     def read_msg(self) -> bytes:
         msg = self._inbox.get()
+        assert isinstance(msg, bytes), "tensor frame read as raw message"
         self.bytes_in += len(msg) + 8
         return msg
+
+    def write_tensor(self, arr) -> None:
+        if self._pass_device and hasattr(arr, "block_until_ready"):
+            arr.block_until_ready()
+            self.bytes_out += arr.nbytes + 8
+            self._outbox.put(("tensor", arr))
+            return
+        super().write_tensor(arr)
+
+    def read_tensor(self):
+        msg = self._inbox.get()
+        if isinstance(msg, tuple) and msg[0] == "tensor":
+            arr = msg[1]
+            self.bytes_in += arr.nbytes + 8
+            return arr
+        assert isinstance(msg, bytes)
+        self.bytes_in += len(msg) + 8
+        return tensor_from_bytes(msg)
 
 
 class TCPChannel(Channel):

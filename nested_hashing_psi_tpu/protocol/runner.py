@@ -77,7 +77,7 @@ def run_in_process(
         )
 
     factory = data_factory or default_factory
-    ch_client, ch_server = LoopbackChannel.pair()
+    ch_client, ch_server = LoopbackChannel.pair(pass_device_arrays=True)
     client = client_cls(factory(), params, ht, ch_client)
     server = server_cls(factory(), params, ht, ch_server)
 

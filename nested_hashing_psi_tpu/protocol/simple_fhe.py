@@ -87,12 +87,10 @@ class SimpleFHEPSIClient(PSIClientBase):
             )
         )
         self.channel.write_tensor(np.array(els, np.int64))
-        self.channel.write_tensor(
-            np.stack([np.asarray(self.gks[k].b_mont) for k in els])
-        )
-        self.channel.write_tensor(
-            np.stack([np.asarray(self.gks[k].a_mont) for k in els])
-        )
+        import jax.numpy as _jnp
+
+        self.channel.write_tensor(_jnp.stack([self.gks[k].b_mont for k in els]))
+        self.channel.write_tensor(_jnp.stack([self.gks[k].a_mont for k in els]))
 
     def run_offline_phase(self) -> None:
         self.client_table.insert_all(self.client_set)
@@ -105,10 +103,10 @@ class SimpleFHEPSIClient(PSIClientBase):
             self.ht.max_items_per_position,
         )
         self.idx_ct = self.client_ops.encrypt_query(self.sk)
-        np.asarray(self.idx_ct.data)
+        self.idx_ct.data.block_until_ready()
 
     def run_online_phase(self) -> None:
-        self.channel.write_tensor(np.asarray(self.idx_ct.data))
+        self.channel.write_tensor(self.idx_ct.data)
         result = Ciphertext(
             jnp.asarray(self.channel.read_tensor()), self.ctx.default_form, 1
         )
@@ -167,8 +165,8 @@ class SimpleFHEPSIServer(PSIServerBase):
         idx = Ciphertext(jnp.asarray(self.channel.read_tensor()))
         begin = time.monotonic_ns()
         result = self.pie.run(idx)
-        result_np = np.asarray(result.data)
+        result.data.block_until_ready()
         self.online_computation_us = (time.monotonic_ns() - begin) // 1000
-        self.channel.write_tensor(result_np)
+        self.channel.write_tensor(result.data)
         if self.params.export_performance:
             self.export_measurements()
