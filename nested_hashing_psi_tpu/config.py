@@ -9,7 +9,7 @@ HashTableParameter (HashTableParameter.hpp) and the CLI defaults
 from __future__ import annotations
 
 import argparse
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

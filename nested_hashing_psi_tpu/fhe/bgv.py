@@ -25,7 +25,6 @@ stream stability across hosts is not required here.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import numpy as np
 import jax
@@ -265,11 +264,18 @@ class BGVContext:
         """Packed-encode slot values -> (B?, L, N) uint32 NTT-domain tensor."""
         coeffs = self.encoder.encode(slot_values)
         rns = self.encoder.to_rns(coeffs, self.q_primes)  # (..., L, n) uint64
-        return ntt(jnp.asarray(rns, U32), self.plan)
+        return self._jit("pt_ntt", lambda x: ntt(x, self.plan))(
+            jnp.asarray(rns, U32)
+        )
 
     def make_plaintext_mont(self, slot_values) -> jnp.ndarray:
         """Like make_plaintext_rns but in Montgomery form (ct x pt operand)."""
-        return to_mont(self.make_plaintext_rns(slot_values), self.p, self.pinv, self.r2)
+        coeffs = self.encoder.encode(slot_values)
+        rns = self.encoder.to_rns(coeffs, self.q_primes)
+        return self._jit(
+            "pt_ntt_mont",
+            lambda x: to_mont(ntt(x, self.plan), self.p, self.pinv, self.r2),
+        )(jnp.asarray(rns, U32))
 
     # ------------------------------------------------------------------
     # encryption / decryption

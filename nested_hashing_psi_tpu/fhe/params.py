@@ -19,7 +19,7 @@ for the same modulus size, each limb twice as cheap.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from nested_hashing_psi_tpu.ops import primes as primes_mod
 

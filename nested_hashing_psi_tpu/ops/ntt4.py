@@ -24,7 +24,7 @@ single-chip transforms and this form where the structure pays for itself.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import jax

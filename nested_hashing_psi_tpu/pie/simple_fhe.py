@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, RelinKey, SecretKey
 from nested_hashing_psi_tpu.hashing.cuckoo import CuckooHashTable
 from nested_hashing_psi_tpu.hashing.hierarchical import HierarchicalCuckooHashTable
-from nested_hashing_psi_tpu.ops.modmath import add_mod, modsum, mont_mul
+from nested_hashing_psi_tpu.ops.modmath import modsum, mont_mul
 
 
 class SimpleFHEPIE:

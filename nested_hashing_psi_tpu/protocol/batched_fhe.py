@@ -31,9 +31,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
-from nested_hashing_psi_tpu.data.input import DataInputHandler
 from nested_hashing_psi_tpu.fhe.bfv import make_context
-from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, RelinKey
+from nested_hashing_psi_tpu.fhe.bgv import Ciphertext, RelinKey
 from nested_hashing_psi_tpu.fhe.params import (
     SchemeParams,
     default_num_limbs,

@@ -10,7 +10,7 @@ from __future__ import annotations
 import threading
 
 from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
-from nested_hashing_psi_tpu.data.input import DataInputHandler, RandomDataInput
+from nested_hashing_psi_tpu.data.input import RandomDataInput
 from nested_hashing_psi_tpu.protocol.channel import LoopbackChannel, TCPChannel
 
 
