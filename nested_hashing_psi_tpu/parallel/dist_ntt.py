@@ -1,5 +1,15 @@
 """Distributed NTT: ring/slot (SP) axis sharded across chips.
 
+Two layouts, mirroring SURVEY.md section 2.3's CP/SP rows:
+
+ 1. Ulysses-style (``dist_ntt_fns``): four-step factorization with ONE
+    all-to-all relayout between the two locally-dense matmul stages.
+ 2. Ring-exchange / block-cyclic (``dist_ntt_ring_fns``): the butterfly NTT
+    with each chip holding a contiguous coefficient block; every one of the
+    first log2(D) butterfly super-stages exchanges whole blocks with the
+    XOR-partner chip via ``ppermute`` (the ring-attention analogue for
+    FFT-like dataflow), after which all remaining stages are chip-local.
+
 The sequence-parallel analogue from SURVEY.md section 2.3: the n ring
 coefficients are sharded over a mesh axis. Using the four-step factorization
 (ops.ntt4):
@@ -23,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from nested_hashing_psi_tpu.ops.modmath import mont_mul
+from nested_hashing_psi_tpu.ops.modmath import add_mod, mont_mul, sub_mod
+from nested_hashing_psi_tpu.ops.ntt import NTTPlan
 from nested_hashing_psi_tpu.ops.ntt4 import FourStepPlan, _matmul_left, _matmul_right
 
 
@@ -92,3 +103,109 @@ def dist_ntt_fns(plan: FourStepPlan, mesh: Mesh, axis: str, ndim: int = 3):
         return inv(y, iT)
 
     return fwd_fn, inv_fn
+
+
+def dist_ntt_ring_fns(plan: NTTPlan, mesh: Mesh, axis: str, ndim: int = 2):
+    """Block-cyclic / ring-exchange distributed butterfly NTT (the CP row of
+    SURVEY.md section 2.3 -- the structural analogue of ring attention).
+
+    Input (..., L, n) with the coefficient axis sharded into D contiguous
+    blocks. Forward (Cooley-Tukey, natural -> bit-reversed array order, same
+    convention as ops.ntt): the first log2(D) super-stages pair coefficients
+    i and i+t with t >= block, so each chip swaps its whole block with the
+    XOR-partner chip (distance D >> (s+1) around the ring) via ``ppermute``
+    and keeps its own output half; the remaining log2(n/D) stages are
+    chip-local. Inverse (Gentleman-Sande) mirrors the schedule: local stages
+    first, then log2(D) exchange super-stages. Bit-exact vs ops.ntt.
+
+    Comm volume: log2(D) block-exchanges of n/D coefficients per limb, all
+    pairwise over ICI -- vs the four-step layout's single all-to-all.
+    """
+    D = mesh.shape[axis]
+    n, L = plan.n, plan.L
+    assert D & (D - 1) == 0 and n % (2 * D) == 0
+    logD = D.bit_length() - 1
+    logn = plan.logn
+    block = n // D
+
+    psi = jnp.asarray(plan.psi_rev)           # (L, n) Montgomery form
+    ipsi = jnp.asarray(plan.psi_inv_rev)
+    n_inv = jnp.asarray(plan.n_inv_mont)      # (L, 1)
+    p2 = jnp.asarray(plan.p_arr)              # (L, 1)
+    pinv2 = jnp.asarray(plan.pinv_arr)
+    p3 = p2[:, :, None]                       # (L, 1, 1) for (..., L, m, t)
+    pinv3 = pinv2[:, :, None]
+
+    from jax import shard_map
+
+    lead = (None,) * (ndim - 1)
+    spec = P(*lead, axis)  # shard the trailing (coefficient) axis
+
+    def _tw_scalar(table, idx):
+        # (L,) twiddle for one group, Montgomery form; idx is traced.
+        return jax.lax.dynamic_slice(table, (0, idx), (L, 1))
+
+    def fwd_local(x):
+        d = jax.lax.axis_index(axis)
+        bshape = x.shape[:-2]
+        for s in range(logD):  # super-stages: cross-chip butterflies
+            m = 1 << s
+            mask = D >> (s + 1)
+            perm = [(i, i ^ mask) for i in range(D)]
+            other = jax.lax.ppermute(x, axis, perm)
+            is_lower = (d & mask) == 0
+            u = jnp.where(is_lower, x, other)
+            v_in = jnp.where(is_lower, other, x)
+            tw = _tw_scalar(psi, m + (d >> (logD - s)))
+            v = mont_mul(v_in, tw, p2, pinv2)
+            x = jnp.where(is_lower, add_mod(u, v, p2), sub_mod(u, v, p2))
+        for s in range(logD, logn):  # local stages on the block
+            m = 1 << s
+            t = n >> (s + 1)
+            m_loc = m >> logD
+            tw = jax.lax.dynamic_slice(psi, (0, m + d * m_loc), (L, m_loc))
+            xr = x.reshape(*bshape, L, m_loc, 2, t)
+            u = xr[..., 0, :]
+            v = mont_mul(xr[..., 1, :], tw[:, :, None], p3, pinv3)
+            x = jnp.stack(
+                [add_mod(u, v, p3), sub_mod(u, v, p3)], axis=-2
+            ).reshape(*bshape, L, block)
+        return x
+
+    def inv_local(x):
+        d = jax.lax.axis_index(axis)
+        bshape = x.shape[:-2]
+        for s in range(logn - 1, logD - 1, -1):  # local stages first
+            h = 1 << s
+            t = n >> (s + 1)
+            h_loc = h >> logD
+            tw = jax.lax.dynamic_slice(ipsi, (0, h + d * h_loc), (L, h_loc))
+            xr = x.reshape(*bshape, L, h_loc, 2, t)
+            u = xr[..., 0, :]
+            v = xr[..., 1, :]
+            x = jnp.stack(
+                [
+                    add_mod(u, v, p3),
+                    mont_mul(sub_mod(u, v, p3), tw[:, :, None], p3, pinv3),
+                ],
+                axis=-2,
+            ).reshape(*bshape, L, block)
+        for s in range(logD - 1, -1, -1):  # cross-chip super-stages
+            h = 1 << s
+            mask = D >> (s + 1)
+            perm = [(i, i ^ mask) for i in range(D)]
+            other = jax.lax.ppermute(x, axis, perm)
+            is_lower = (d & mask) == 0
+            u = jnp.where(is_lower, x, other)
+            v = jnp.where(is_lower, other, x)
+            tw = _tw_scalar(ipsi, h + (d >> (logD - s)))
+            x = jnp.where(
+                is_lower,
+                add_mod(u, v, p2),
+                mont_mul(sub_mod(u, v, p2), tw, p2, pinv2),
+            )
+        return mont_mul(x, n_inv, p2, pinv2)
+
+    fwd = jax.jit(shard_map(fwd_local, mesh=mesh, in_specs=spec, out_specs=spec))
+    inv = jax.jit(shard_map(inv_local, mesh=mesh, in_specs=spec, out_specs=spec))
+    return fwd, inv

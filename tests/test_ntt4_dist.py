@@ -49,3 +49,29 @@ def test_dist_ntt_sharded_matches_canonical():
 
     back = np.asarray(inv(jnp.asarray(out.reshape(len(ps), m1, n // m1), jnp.uint32)))
     np.testing.assert_array_equal(back.reshape(len(ps), n), x)
+
+
+@pytest.mark.parametrize("ndev,ndim", [(4, 2), (8, 3)])
+def test_dist_ntt_ring_exchange_matches_canonical(ndev, ndim):
+    """CP / ring-exchange layout (ppermute butterfly super-stages)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from nested_hashing_psi_tpu.parallel.dist_ntt import dist_ntt_ring_fns
+
+    n = 256
+    ps = primes.ntt_primes(3, 31, 2 * n)
+    plan = NTTPlan(n, ps)
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("sp",))
+    fwd, inv = dist_ntt_ring_fns(plan, mesh, "sp", ndim=ndim)
+
+    rng = np.random.default_rng(7)
+    bshape = (2,) if ndim == 3 else ()
+    x = rng.integers(0, min(ps), size=bshape + (len(ps), n), dtype=np.uint64)
+    spec = P(*(None,) * (ndim - 1), "sp")
+    xd = jax.device_put(jnp.asarray(x, jnp.uint32), NamedSharding(mesh, spec))
+
+    out = np.asarray(fwd(xd))
+    expected = np.asarray(plan.ntt_jit(jnp.asarray(x, jnp.uint32)))
+    np.testing.assert_array_equal(out, expected)
+
+    back = np.asarray(inv(jnp.asarray(out)))
+    np.testing.assert_array_equal(back, x)
