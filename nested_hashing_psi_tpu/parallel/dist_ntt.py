@@ -105,23 +105,13 @@ def dist_ntt_fns(plan: FourStepPlan, mesh: Mesh, axis: str, ndim: int = 3):
     return fwd_fn, inv_fn
 
 
-def dist_ntt_ring_fns(plan: NTTPlan, mesh: Mesh, axis: str, ndim: int = 2):
-    """Block-cyclic / ring-exchange distributed butterfly NTT (the CP row of
-    SURVEY.md section 2.3 -- the structural analogue of ring attention).
-
-    Input (..., L, n) with the coefficient axis sharded into D contiguous
-    blocks. Forward (Cooley-Tukey, natural -> bit-reversed array order, same
-    convention as ops.ntt): the first log2(D) super-stages pair coefficients
-    i and i+t with t >= block, so each chip swaps its whole block with the
-    XOR-partner chip (distance D >> (s+1) around the ring) via ``ppermute``
-    and keeps its own output half; the remaining log2(n/D) stages are
-    chip-local. Inverse (Gentleman-Sande) mirrors the schedule: local stages
-    first, then log2(D) exchange super-stages. Bit-exact vs ops.ntt.
-
-    Comm volume: log2(D) block-exchanges of n/D coefficients per limb, all
-    pairwise over ICI -- vs the four-step layout's single all-to-all.
+def ring_ntt_local_fns(plan: NTTPlan, axis: str, D: int):
+    """Per-shard bodies (fwd_local, inv_local) of the ring-exchange NTT,
+    for composing INSIDE a larger ``shard_map`` over mesh axis ``axis``
+    (e.g. the SP-sharded PIE step in parallel.mesh). Each takes/returns a
+    local block (..., L, n/D) of a coefficient-axis-sharded (..., L, n)
+    tensor; they call ``axis_index``/``ppermute`` on ``axis`` internally.
     """
-    D = mesh.shape[axis]
     n, L = plan.n, plan.L
     assert D & (D - 1) == 0 and n % (2 * D) == 0
     logD = D.bit_length() - 1
@@ -135,11 +125,6 @@ def dist_ntt_ring_fns(plan: NTTPlan, mesh: Mesh, axis: str, ndim: int = 2):
     pinv2 = jnp.asarray(plan.pinv_arr)
     p3 = p2[:, :, None]                       # (L, 1, 1) for (..., L, m, t)
     pinv3 = pinv2[:, :, None]
-
-    from jax import shard_map
-
-    lead = (None,) * (ndim - 1)
-    spec = P(*lead, axis)  # shard the trailing (coefficient) axis
 
     def _tw_scalar(table, idx):
         # (L,) twiddle for one group, Montgomery form; idx is traced.
@@ -206,6 +191,30 @@ def dist_ntt_ring_fns(plan: NTTPlan, mesh: Mesh, axis: str, ndim: int = 2):
             )
         return mont_mul(x, n_inv, p2, pinv2)
 
+    return fwd_local, inv_local
+
+
+def dist_ntt_ring_fns(plan: NTTPlan, mesh: Mesh, axis: str, ndim: int = 2):
+    """Block-cyclic / ring-exchange distributed butterfly NTT (the CP row of
+    SURVEY.md section 2.3 -- the structural analogue of ring attention).
+
+    Input (..., L, n) with the coefficient axis sharded into D contiguous
+    blocks. Forward (Cooley-Tukey, natural -> bit-reversed array order, same
+    convention as ops.ntt): the first log2(D) super-stages pair coefficients
+    i and i+t with t >= block, so each chip swaps its whole block with the
+    XOR-partner chip (distance D >> (s+1) around the ring) via ``ppermute``
+    and keeps its own output half; the remaining log2(n/D) stages are
+    chip-local. Inverse (Gentleman-Sande) mirrors the schedule: local stages
+    first, then log2(D) exchange super-stages. Bit-exact vs ops.ntt.
+
+    Comm volume: log2(D) block-exchanges of n/D coefficients per limb, all
+    pairwise over ICI -- vs the four-step layout's single all-to-all.
+    """
+    from jax import shard_map
+
+    fwd_local, inv_local = ring_ntt_local_fns(plan, axis, mesh.shape[axis])
+    lead = (None,) * (ndim - 1)
+    spec = P(*lead, axis)  # shard the trailing (coefficient) axis
     fwd = jax.jit(shard_map(fwd_local, mesh=mesh, in_specs=spec, out_specs=spec))
     inv = jax.jit(shard_map(inv_local, mesh=mesh, in_specs=spec, out_specs=spec))
     return fwd, inv

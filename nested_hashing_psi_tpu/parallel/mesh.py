@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nested_hashing_psi_tpu.fhe.bgv import BGVContext, RelinKey
@@ -90,6 +91,94 @@ def sharded_simple_pie_step(pie, mesh: Mesh):
 
     fn = jax.jit(step, in_shardings=(sh["idx"],), out_shardings=sh["out"])
     return fn, sh
+
+
+def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
+    """Batched-PIE online step with the ring/slot (SP) axis sharded.
+
+    The full SURVEY section 2.3 SP integration: every tensor keeps its
+    trailing ring axis N split into contiguous blocks across ``axis``. All
+    pointwise ciphertext algebra (ct x pt products, position sums, adds,
+    the cross-hash tensor product, masking) is chip-local; the only
+    cross-chip traffic is inside relinearization, whose iNTT -> centered
+    digit decomposition -> NTT runs as the ring-exchange distributed
+    butterfly (dist_ntt.ring_ntt_local_fns): log2(D) block ppermutes per
+    transform over ICI.
+
+    Returns (jitted_fn, shardings). fn(idx, minus, table, mask, rlk_b,
+    rlk_a) -> result data (D_depth, 2, L, N); wrap in Ciphertext with
+    ``sp_result_form_scale(ctx, H)`` for decryption bookkeeping.
+    """
+    from jax import shard_map
+
+    from nested_hashing_psi_tpu.ops.modmath import (
+        add_mod,
+        modsum,
+        mont_mul,
+        sub_mod,
+        to_mont,
+    )
+    from nested_hashing_psi_tpu.parallel.dist_ntt import ring_ntt_local_fns
+
+    D = mesh.shape[axis]
+    fwd_l, inv_l = ring_ntt_local_fns(ctx.plan, axis, D)
+    p, pinv, r2 = ctx.p, ctx.pinv, ctx.r2
+    q_half, qk_mod_qj, t_mont = ctx.q_half, ctx.qk_mod_qj, ctx.t_mont
+    is_bfv = ctx.default_form == "bfv"
+
+    def relin_local(d0, d1, d2, rb, ra):
+        coeffs = inv_l(d2)                        # distributed iNTT
+        dk = coeffs[..., :, None, :]
+        big = dk > q_half[:, None, :]
+        r = dk % p[None]
+        digits = jnp.where(big, sub_mod(r, qk_mod_qj, p[None]), r)
+        dig = fwd_l(digits)                       # distributed NTT
+        ks0 = modsum(mont_mul(dig, rb, p, pinv), p, axis=-3)
+        ks1 = modsum(mont_mul(dig, ra, p, pinv), p, axis=-3)
+        return add_mod(d0, ks0, p), add_mod(d1, ks1, p)
+
+    def step_local(idx, minus, table, mask, rb, ra):
+        H = idx.shape[0]
+        prod = mont_mul(idx[:, None], table[..., None, :, :], p, pinv)
+        ip = modsum(prod, p, axis=2)              # (H, D_depth, 2, L, Nloc)
+        ip = add_mod(ip, minus[None, None], p)
+        if is_bfv and H > 1:
+            # BFV -> BGV multiplication bridge (see fhe.bfv._to_mul_form)
+            ip = mont_mul(ip, t_mont, p, pinv)
+        acc = ip[0]
+        for h in range(1, H):
+            a0, a1 = acc[..., 0, :, :], acc[..., 1, :, :]
+            b0 = to_mont(ip[h][..., 0, :, :], p, pinv, r2)
+            b1 = to_mont(ip[h][..., 1, :, :], p, pinv, r2)
+            d0 = mont_mul(a0, b0, p, pinv)
+            d1 = add_mod(
+                mont_mul(a0, b1, p, pinv), mont_mul(a1, b0, p, pinv), p
+            )
+            d2 = mont_mul(a1, b1, p, pinv)
+            k0, k1 = relin_local(d0, d1, d2, rb, ra)
+            acc = jnp.stack([k0, k1], axis=-3)
+        return mont_mul(acc, mask[:, None], p, pinv)
+
+    s = lambda nd: P(*(None,) * (nd - 1), axis)  # trailing (N) axis sharded
+    ns = lambda nd: NamedSharding(mesh, s(nd))
+    sh = dict(idx=ns(5), minus=ns(3), table=ns(5), mask=ns(3), rlk=ns(3), out=ns(4))
+    fn = jax.jit(
+        shard_map(
+            step_local,
+            mesh=mesh,
+            in_specs=(s(5), s(3), s(5), s(3), s(3), s(3)),
+            out_specs=s(4),
+        )
+    )
+    return fn, sh
+
+
+def sp_result_form_scale(ctx: BGVContext, n_hash: int) -> tuple[str, int]:
+    """(form, scale) of sp_sharded_pie_step's result ciphertext, matching
+    batched_pie_forward's host-side tracking."""
+    if ctx.default_form == "bfv" and n_hash > 1:
+        return "bgv", pow(ctx.t - ctx.r_t, n_hash, ctx.t)
+    return ctx.default_form, 1
 
 
 def sharded_pie_step(ctx: BGVContext, mesh: Mesh):

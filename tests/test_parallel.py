@@ -18,6 +18,8 @@ from nested_hashing_psi_tpu.parallel.mesh import (
     make_mesh,
     sharded_pie_step,
     sharded_simple_pie_step,
+    sp_result_form_scale,
+    sp_sharded_pie_step,
 )
 
 
@@ -56,6 +58,57 @@ def test_sharded_batched_pie_matches_unsharded():
         jax.device_put(rlk.a_mont, sh["rlk"]),
     )
     np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+@pytest.mark.parametrize("scheme", ["bgv", "bfv"])
+def test_sp_sharded_pie_matches_unsharded(scheme):
+    """Ring-axis (SP) sharded online step: pointwise algebra local, relin
+    NTTs ring-exchange distributed -- bit-exact vs the unsharded pipeline."""
+    from jax.sharding import Mesh
+    from nested_hashing_psi_tpu.fhe.bfv import make_context
+    from nested_hashing_psi_tpu.fhe.params import SchemeParams
+    from nested_hashing_psi_tpu.pie.batched_fhe import (
+        BatchedFHEClientOps,
+        BatchedFHEPIE,
+    )
+
+    hasher = TabulationHashing(77, 4)
+    hct = HierarchicalCuckooHashTable(
+        hasher, each_simple_table_size=16, each_cuckoo_table_size=8,
+        n_simple_hash_functions=2, n_cuckoo_hash_functions=2,
+        max_items_per_position=8, seed=9,
+    )
+    hct.insert_all(items_from_ints(list(range(300, 450))))
+    ctx = make_context(
+        SchemeParams(
+            ring_dim=64, plaintext_modulus=65537, num_limbs=8, scheme=scheme
+        ),
+        seed=10,
+    )
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=11)
+    ct_table = CuckooHashTable(hasher, 16, 2, max_items_per_position=1, seed=12)
+    ct_table.insert_all(items_from_ints([305, 999]))
+    ops = BatchedFHEClientOps(ctx, ct_table, 2, 2, 8)
+    idx, minus = ops.encrypt_query(sk)
+
+    expected_ct = pie.run(idx, minus)
+    expected = np.asarray(expected_ct.data)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    fn, sh = sp_sharded_pie_step(ctx, mesh)
+    out = fn(
+        jax.device_put(idx.data, sh["idx"]),
+        jax.device_put(minus.data, sh["minus"]),
+        jax.device_put(pie.table_pt, sh["table"]),
+        jax.device_put(pie.mask_pt, sh["mask"]),
+        jax.device_put(rlk.b_mont, sh["rlk"]),
+        jax.device_put(rlk.a_mont, sh["rlk"]),
+    )
+    np.testing.assert_array_equal(np.asarray(out), expected)
+    form, scale = sp_result_form_scale(ctx, 2)
+    assert (form, scale) == (expected_ct.form, expected_ct.scale)
 
 
 def test_sharded_simple_pie_matches_unsharded():
