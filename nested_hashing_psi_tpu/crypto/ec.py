@@ -2,8 +2,9 @@
 
 Replaces the reference's libscapi OpenSSLDlogECFp
 (/root/reference/src/Client/ElGamal/ElGamalPSIClient.hpp:40-52 selects the
-curve by name). Binary-field curves (B-*/K-*) are not implemented -- the
-reference supports them via OpenSSL; P-curves cover the benchmark configs.
+curve by name). Binary-field curves (B-*/K-*) live in crypto/ec2m.py; use
+ec_group() to dispatch by name exactly like the reference's
+ElGamalPSIServer.hpp:32-44 P/B/K switch.
 
 Jacobian-coordinate arithmetic with a fixed-base window table for the
 generator. Host-side by design (SURVEY section 2.2): EC scalar mults do not
@@ -64,10 +65,6 @@ INFINITY = None  # affine point at infinity
 class EcGroup:
     def __init__(self, name: str = "P-256"):
         if name not in CURVES:
-            if name[0] in ("B", "K"):
-                raise NotImplementedError(
-                    "binary-field curves (B-*/K-*) are not supported; use P-*"
-                )
             raise ValueError(f"unknown curve {name}")
         self.name = name
         self.p, a, self.b, gx, gy, self.order = CURVES[name]
@@ -237,6 +234,19 @@ class EcGroup:
             return True
         x, y = A
         return (y * y - (x * x * x + self.a * x + self.b)) % self.p == 0
+
+
+def ec_group(name: str):
+    """Curve dispatch by name: P-* -> prime field, B-*/K-* -> GF(2^m).
+
+    Mirrors /root/reference/src/Server/ElGamal/ElGamalPSIServer.hpp:32-44
+    (OpenSSLDlogECFp vs OpenSSLDlogECF2m by the curve name's first letter).
+    """
+    if name and name[0] in ("B", "K"):
+        from nested_hashing_psi_tpu.crypto.ec2m import BinaryEcGroup
+
+        return BinaryEcGroup(name)
+    return EcGroup(name)
 
 
 def _sqrt_mod(a: int, p: int) -> int | None:

@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
-from nested_hashing_psi_tpu.crypto.ec import EcGroup
+from nested_hashing_psi_tpu.crypto.ec import ec_group
 from nested_hashing_psi_tpu.crypto.elgamal import AddHomElGamal, ElGamalCiphertext
 from nested_hashing_psi_tpu.hashing import (
     CuckooHashTable,
@@ -43,7 +43,7 @@ class _ElGamalClientBase(PSIClientBase):
 
     def _setup_common(self) -> None:
         p, ht = self.params, self.ht
-        self.enc = AddHomElGamal(EcGroup(p.curve_name))
+        self.enc = AddHomElGamal(ec_group(p.curve_name))
         self.result_size = (
             ht.max_items_per_position * ht.n_cuckoo_hash_functions
             + ht.server_stash_size
@@ -121,7 +121,7 @@ class _ElGamalServerBase(PSIServerBase):
 
     def _setup_common(self) -> None:
         p, ht = self.params, self.ht
-        self.enc = AddHomElGamal(EcGroup(p.curve_name))
+        self.enc = AddHomElGamal(ec_group(p.curve_name))
         self.enc.set_public_key(self.enc.point_from_bytes(self.channel.read_msg()))
         self.hasher = TabulationHashing(
             p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
