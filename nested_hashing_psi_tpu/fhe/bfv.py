@@ -8,15 +8,21 @@ Shares the whole RNS/NTT machinery with BGVContext; the differences:
 
  - encryption places Delta*m in the phase and uses plain (not t-scaled)
    noise; decryption rounds t/q * phase.
- - ct x ct multiplication uses the exact t-scaling bridge instead of
-   HPS/BEHZ base extension: multiplying a BFV ciphertext by t turns its
-   phase into t*e' - r*m (r = q mod t) -- a *BGV-form* ciphertext whose
-   message is -r*m. The product is then a plain BGV tensor product +
-   relinearization, with the known scalar (-r)^2 tracked in
-   Ciphertext.scale and divided out at decryption. This is exact (no
-   rounding), costs two scalar multiplications, and trades ~2*log2(t) bits
-   of extra noise per multiplication versus textbook BFV -- budgeted by
-   params.default_num_limbs(scheme="bfv").
+ - ct x ct multiplication is *textbook HPS*: extend both operands from q to
+   a disjoint auxiliary RNS base, tensor-multiply over both bases, scale by
+   t/q with rounding, and convert back to q -- all uint32 VPU work via
+   ops.basis.BFVMulConverter (the aux -> q direction is integer-exact
+   Shenoy-Kumaresan; see that class's docstring for the miss analysis).
+   Noise grows *additively* (~ t*n*(e_a + e_b)) instead of multiplicatively
+   as in BGV, so deep chains need far fewer limbs.
+ - ct_ct_mul_bridge keeps the exact t-scaling bridge as an alternative:
+   multiplying a BFV ciphertext by t turns its phase into t*e' - r*m
+   (r = q mod t) -- a *BGV-form* ciphertext whose message is -r*m. The
+   product is then a plain BGV tensor product + relinearization, with the
+   known scalar (-r)^2 tracked in Ciphertext.scale and divided out at
+   decryption. Exact (no rounding), two scalar multiplications, but
+   ~2*log2(t) bits of extra noise per multiplication. Mixed-form operands
+   (a BFV ct times a BGV ct) also route through the bridge.
  - ct x pt and additions are identical (plaintext operand is never
    Delta-scaled, matching EvalMult(ct, pt) semantics).
 """
@@ -26,9 +32,11 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext
+from nested_hashing_psi_tpu.fhe.bgv import BGVContext, Ciphertext, tensor_product
 from nested_hashing_psi_tpu.fhe.params import SchemeParams
+from nested_hashing_psi_tpu.ops.basis import BFVMulConverter
 from nested_hashing_psi_tpu.ops.modmath import mont_mul
+from nested_hashing_psi_tpu.ops.ntt import intt, ntt
 
 
 class BFVContext(BGVContext):
@@ -46,9 +54,47 @@ class BFVContext(BGVContext):
         one_mont = np.array([(1 << 32) % p for p in self.q_primes], np.uint32)
         self.noise_mont = jnp.asarray(one_mont.reshape(self.L, 1))
         self.r_t = q % t  # BGV-bridge message factor is -r_t
+        self._mulconv: BFVMulConverter | None = None
 
     def _msg_prep(self, m_ntt):
         return mont_mul(m_ntt, self.delta_mont, self.p, self.pinv)
+
+    @property
+    def mulconv(self) -> BFVMulConverter:
+        """Lazily-built HPS multiplication machinery (numpy-stored constants,
+        safe to construct inside a jit trace)."""
+        if self._mulconv is None:
+            self._mulconv = BFVMulConverter(self.q_primes, self.t, self.n)
+        return self._mulconv
+
+    def ct_ct_mul(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """EvalMult(ct, ct): textbook HPS for BFV-form operands; the
+        t-scaling bridge handles mixed forms."""
+        if a.form == "bfv" and b.form == "bfv":
+            self.mulconv  # build eagerly relative to the jit below
+            return self._jit("bfv_hps_mul", self._hps_mul_impl)(a, b)
+        return super().ct_ct_mul(a, b)
+
+    def ct_ct_mul_bridge(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """The exact t-scaling bridge multiplication (see module docstring)."""
+        return super().ct_ct_mul(a, b)
+
+    def _hps_mul_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        mc = self._mulconv
+        plan_aux = mc.plan_aux
+        p_aux = jnp.asarray(plan_aux.p_arr)
+        pinv_aux = jnp.asarray(plan_aux.pinv_arr)
+        r2_aux = jnp.asarray(plan_aux.r2_arr)
+        # operand coefficients over q, extended to the aux base's NTT domain
+        ea = ntt(mc.extend_q_to_aux(intt(a.data, self.plan)), plan_aux)
+        eb = ntt(mc.extend_q_to_aux(intt(b.data, self.plan)), plan_aux)
+        # tensor products over both bases
+        d_q = tensor_product(a.data, b.data, self.p, self.pinv, self.r2)
+        d_aux = tensor_product(ea, eb, p_aux, pinv_aux, r2_aux)
+        # scale by t/q with rounding, exact-convert back to q
+        y = mc.scale_round(intt(d_q, self.plan), intt(d_aux, plan_aux))
+        out = ntt(mc.exact_to_q(y), self.plan)
+        return Ciphertext(out, "bfv", a.scale * b.scale % self.t)
 
     def _to_mul_form(self, ct: Ciphertext) -> Ciphertext:
         """BFV-form -> BGV-form: multiply by t; message becomes -r_t * m."""

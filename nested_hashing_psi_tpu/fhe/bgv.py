@@ -45,6 +45,21 @@ from nested_hashing_psi_tpu.ops.ntt import NTTPlan, intt, ntt
 U32 = jnp.uint32
 
 
+def tensor_product(a, b, p, pinv, r2):
+    """(c0 + c1*s) x (d0 + d1*s) over one RNS base, NTT domain:
+    a, b uint32 (..., 2, L, N) -> (..., 3, L, N)."""
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    b0, b1 = b[..., 0, :, :], b[..., 1, :, :]
+    b0m = to_mont(b0, p, pinv, r2)
+    b1m = to_mont(b1, p, pinv, r2)
+    d0 = mont_mul(a0, b0m, p, pinv)
+    d1 = add_mod(
+        mont_mul(a0, b1m, p, pinv), mont_mul(a1, b0m, p, pinv), p
+    )
+    d2 = mont_mul(a1, b1m, p, pinv)
+    return jnp.stack([d0, d1, d2], axis=-3)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Ciphertext:
@@ -453,19 +468,8 @@ class BGVContext:
 
     def _ct_ct_mul_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """Tensor product -> 3-component ciphertext (call relinearize after)."""
-        a0, a1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
-        b0, b1 = b.data[..., 0, :, :], b.data[..., 1, :, :]
-        b0m = to_mont(b0, self.p, self.pinv, self.r2)
-        b1m = to_mont(b1, self.p, self.pinv, self.r2)
-        d0 = mont_mul(a0, b0m, self.p, self.pinv)
-        d1 = add_mod(
-            mont_mul(a0, b1m, self.p, self.pinv),
-            mont_mul(a1, b0m, self.p, self.pinv),
-            self.p,
-        )
-        d2 = mont_mul(a1, b1m, self.p, self.pinv)
         return Ciphertext(
-            jnp.stack([d0, d1, d2], axis=-3),
+            tensor_product(a.data, b.data, self.p, self.pinv, self.r2),
             "bgv",
             a.scale * b.scale % self.t,
         )

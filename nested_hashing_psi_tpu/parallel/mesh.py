@@ -100,10 +100,14 @@ def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
     trailing ring axis N split into contiguous blocks across ``axis``. All
     pointwise ciphertext algebra (ct x pt products, position sums, adds,
     the cross-hash tensor product, masking) is chip-local; the only
-    cross-chip traffic is inside relinearization, whose iNTT -> centered
-    digit decomposition -> NTT runs as the ring-exchange distributed
-    butterfly (dist_ntt.ring_ntt_local_fns): log2(D) block ppermutes per
-    transform over ICI.
+    cross-chip traffic is inside the NTT/iNTT transforms, which run as the
+    ring-exchange distributed butterfly (dist_ntt.ring_ntt_local_fns):
+    log2(D) block ppermutes per transform over ICI. For BGV contexts that
+    means relinearization only; for BFV contexts the textbook HPS ct x ct
+    (fhe.bfv._hps_mul_impl) runs here too -- its base conversions
+    (extend/scale-round/exact Shenoy-Kumaresan) are pointwise per ring
+    coefficient and therefore chip-local, with the q- and aux-base
+    transforms distributed. Bit-exact vs the unsharded pipeline either way.
 
     Returns (jitted_fn, shardings). fn(idx, minus, table, mask, rlk_b,
     rlk_a) -> result data (D_depth, 2, L, N); wrap in Ciphertext with

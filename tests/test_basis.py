@@ -76,3 +76,87 @@ def test_roundtrip_through_aux_basis(bases):
     x = _residues(vals, src)
     back = np.asarray(bwd.convert(np.asarray(fwd.convert(x))))
     np.testing.assert_array_equal(back, x)
+
+
+# ---------------------------------------------------------------------------
+# BFVMulConverter: the textbook-HPS multiplication machinery
+# ---------------------------------------------------------------------------
+
+from nested_hashing_psi_tpu.ops.basis import BFVMulConverter
+
+
+def _signed_residues(values, primes):
+    return np.stack(
+        [np.array([int(v) % p for v in values], np.uint32) for p in primes]
+    )
+
+
+@pytest.fixture(scope="module")
+def mc():
+    q_primes = ntt_primes(4, 31, 2 * 64)
+    return BFVMulConverter(q_primes, 65537, 64)
+
+
+def test_mulconv_base_sizing(mc):
+    q = np.prod([int(p) for p in mc.q_primes], dtype=object)
+    assert mc.B > 9 * 65537 * 64 * int(q) * 2
+    assert len(set(mc.aux_primes) & set(mc.q_primes)) == 0
+
+
+def test_mulconv_extend_centered(mc):
+    """extend_q_to_aux reproduces the centered value's residues over aux."""
+    rng = np.random.default_rng(3)
+    q = np.prod([int(p) for p in mc.q_primes], dtype=object)
+    mags = [int(v) for v in rng.integers(0, 1 << 60, size=64)]
+    vals = [m if i % 2 else -m for i, m in enumerate(mags)]
+    x = _signed_residues(vals, mc.q_primes)
+    out = np.asarray(mc.extend_q_to_aux(x))
+    want = _signed_residues(vals, mc.aux_primes)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_mulconv_exact_to_q_full_range(mc):
+    """Shenoy-Kumaresan aux -> q is integer-exact across the centered range,
+    including values near +-B/2 where a float correction would miss."""
+    rng = np.random.default_rng(4)
+    B = mc.B
+    nbytes = (B.bit_length() + 15) // 8
+    vals = [
+        int.from_bytes(rng.bytes(nbytes), "little") % B - B // 2
+        for _ in range(61)
+    ]
+    vals += [-(B // 2) + 1, 0, B // 2 - 1]
+    y = _signed_residues(vals, mc.aux_primes)
+    out = np.asarray(mc.exact_to_q(y))
+    want = _signed_residues(vals, mc.q_primes)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_mulconv_scale_round_oracle(mc):
+    """scale_round o exact_to_q == round(t*d/q) for random full-width d."""
+    rng = np.random.default_rng(5)
+    q = int(np.prod([int(p) for p in mc.q_primes], dtype=object))
+    t, n = 65537, 64
+    bound = n * q * q // 4  # |d| for worst-case tensor coefficients
+    nbytes = (bound.bit_length() + 15) // 8
+    ds = [
+        int.from_bytes(rng.bytes(nbytes), "little") % (2 * bound) - bound
+        for _ in range(64)
+    ]
+    d_q = _signed_residues(ds, mc.q_primes)
+    d_aux = _signed_residues(ds, mc.aux_primes)
+    y = np.asarray(mc.scale_round(d_q, d_aux))
+    out = np.asarray(mc.exact_to_q(y))
+    want = []
+    for d in ds:
+        r = (t * d) % q
+        if r > q // 2:
+            r -= q
+        want.append((t * d - r) // q)
+    # a rare float-correction miss in r's conversion costs +-1 on y
+    want_res = _signed_residues(want, mc.q_primes)
+    diff_ok = np.zeros(out.shape[-1], bool)
+    for delta in (-1, 0, 1):
+        cand = _signed_residues([w + delta for w in want], mc.q_primes)
+        diff_ok |= (out == cand).all(axis=0)
+    assert diff_ok.all()

@@ -50,15 +50,18 @@ def test_bfv_add_and_ct_pt():
     )
 
 
-def test_bfv_ct_ct_mul_via_bridge():
+def test_bfv_ct_ct_mul_mixed_form_via_bridge():
+    """ct_ct_mul with a BGV-form operand falls back to the t-scaling bridge
+    (the default BFV x BFV path is textbook HPS, tested below)."""
     ctx = ctx_small(seed=47, limbs=10)
     sk, _ = ctx.keygen()
     rlk = ctx.relin_keygen(sk)
     rng = np.random.default_rng(2)
     a = rng.integers(0, 65537, size=64)
     b = rng.integers(0, 65537, size=64)
-    ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
+    ca = ctx._to_mul_form(ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk))
     cb = ctx.encrypt_sk(ctx.make_plaintext_rns(b), sk)
+    assert ca.form == "bgv" and cb.form == "bfv"
     prod = ctx.ct_ct_mul_relin(ca, cb, rlk)
     assert prod.form == "bgv" and prod.scale != 1
     slots, noise = ctx.decrypt(prod, sk)
@@ -81,3 +84,99 @@ def test_bfv_zero_slots_survive_pipeline():
     prod = ctx.ct_ct_mul_relin(diff, other, rlk)
     slots, _ = ctx.decrypt(prod, sk)
     assert all(int(v) == 0 for v in slots)
+
+
+# ---------------------------------------------------------------------------
+# textbook HPS multiplication (the default for BFV-form operands)
+# ---------------------------------------------------------------------------
+
+
+def test_bfv_hps_mul():
+    ctx = ctx_small(seed=59, limbs=6)
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 65537, size=64)
+    b = rng.integers(0, 65537, size=64)
+    ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
+    cb = ctx.encrypt_sk(ctx.make_plaintext_rns(b), sk)
+    prod = ctx.ct_ct_mul_relin(ca, cb, rlk)
+    # HPS keeps BFV form and does not perturb the message scale
+    assert prod.form == "bfv" and prod.scale == 1
+    slots, _ = ctx.decrypt(prod, sk)
+    np.testing.assert_array_equal(
+        np.asarray([int(v) for v in slots]),
+        np.asarray([int(v) for v in (a.astype(object) * b) % 65537]),
+    )
+
+
+def test_bfv_hps_mul_big_t():
+    t = (1 << 32) + (1 << 20) + (1 << 19) + 1  # the reference's 32-bit table
+    ctx = ctx_small(t=t, seed=61, limbs=8)
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, t, size=64).astype(object)
+    b = rng.integers(0, t, size=64).astype(object)
+    ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
+    cb = ctx.encrypt_sk(ctx.make_plaintext_rns(b), sk)
+    prod = ctx.ct_ct_mul_relin(ca, cb, rlk)
+    slots, _ = ctx.decrypt(prod, sk)
+    assert all(int(s) == int(x) * int(y) % t for s, x, y in zip(slots, a, b))
+
+
+def test_bfv_hps_depth_chain_low_limbs():
+    """3 sequential multiplications at 6 limbs (186-bit q): HPS noise grows
+    additively, where the t-scaling bridge would burn ~2*17 extra bits per
+    multiplication."""
+    ctx = ctx_small(seed=67, limbs=6)
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    rng = np.random.default_rng(8)
+    vals = [rng.integers(0, 65537, size=64) for _ in range(4)]
+    cts = [ctx.encrypt_sk(ctx.make_plaintext_rns(v), sk) for v in vals]
+    acc = cts[0]
+    for ct in cts[1:]:
+        acc = ctx.ct_ct_mul_relin(acc, ct, rlk)
+    slots, _ = ctx.decrypt(acc, sk)
+    want = np.ones(64, dtype=object)
+    for v in vals:
+        want = (want * v) % 65537
+    np.testing.assert_array_equal(
+        np.asarray([int(v) for v in slots]), np.asarray([int(v) for v in want])
+    )
+
+
+def test_bfv_hps_zero_slots():
+    """The PIE's zero test through textbook multiplication."""
+    ctx = ctx_small(seed=71, limbs=6)
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    a = np.arange(2, 66)
+    ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
+    cneg = ctx.encrypt_sk(ctx.make_plaintext_rns([-int(v) for v in a]), sk)
+    diff = ctx.ct_add(ca, cneg)
+    other = ctx.encrypt_sk(ctx.make_plaintext_rns(np.arange(1, 65)), sk)
+    prod = ctx.ct_ct_mul_relin(diff, other, rlk)
+    slots, _ = ctx.decrypt(prod, sk)
+    assert all(int(v) == 0 for v in slots)
+
+
+def test_bfv_bridge_still_available():
+    """ct_ct_mul_bridge keeps the exact t-scaling path (and mixed-form
+    operands route through it automatically in ct_ct_mul)."""
+    ctx = ctx_small(seed=73, limbs=10)
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 65537, size=64)
+    b = rng.integers(0, 65537, size=64)
+    ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
+    cb = ctx.encrypt_sk(ctx.make_plaintext_rns(b), sk)
+    prod = ctx.relinearize(ctx.ct_ct_mul_bridge(ca, cb), rlk)
+    assert prod.form == "bgv" and prod.scale != 1
+    slots, _ = ctx.decrypt(prod, sk)
+    np.testing.assert_array_equal(
+        np.asarray([int(v) for v in slots]),
+        np.asarray([int(v) for v in (a.astype(object) * b) % 65537]),
+    )
