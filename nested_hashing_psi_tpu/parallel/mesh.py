@@ -115,6 +115,7 @@ def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
     """
     from jax import shard_map
 
+    from nested_hashing_psi_tpu.fhe.bgv import tensor_product
     from nested_hashing_psi_tpu.ops.modmath import (
         add_mod,
         modsum,
@@ -127,8 +128,14 @@ def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
     D = mesh.shape[axis]
     fwd_l, inv_l = ring_ntt_local_fns(ctx.plan, axis, D)
     p, pinv, r2 = ctx.p, ctx.pinv, ctx.r2
-    q_half, qk_mod_qj, t_mont = ctx.q_half, ctx.qk_mod_qj, ctx.t_mont
+    q_half, qk_mod_qj = ctx.q_half, ctx.qk_mod_qj
     is_bfv = ctx.default_form == "bfv"
+    if is_bfv:
+        mc = ctx.mulconv  # numpy-stored constants; build outside the trace
+        fwd_aux, inv_aux = ring_ntt_local_fns(mc.plan_aux, axis, D)
+        p_aux = jnp.asarray(mc.plan_aux.p_arr)
+        pinv_aux = jnp.asarray(mc.plan_aux.pinv_arr)
+        r2_aux = jnp.asarray(mc.plan_aux.r2_arr)
 
     def relin_local(d0, d1, d2, rb, ra):
         coeffs = inv_l(d2)                        # distributed iNTT
@@ -141,24 +148,36 @@ def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
         ks1 = modsum(mont_mul(dig, ra, p, pinv), p, axis=-3)
         return add_mod(d0, ks0, p), add_mod(d1, ks1, p)
 
+    def hps_mul_local(a, b):
+        """Distributed HPS ct x ct (mirrors fhe.bfv._hps_mul_impl): the base
+        conversions are pointwise per ring coefficient (chip-local); the
+        q- and aux-base transforms run ring-exchange distributed."""
+        ea = fwd_aux(mc.extend_q_to_aux(inv_l(a)))
+        eb = fwd_aux(mc.extend_q_to_aux(inv_l(b)))
+        d_q = tensor_product(a, b, p, pinv, r2)
+        d_aux = tensor_product(ea, eb, p_aux, pinv_aux, r2_aux)
+        y = mc.scale_round(inv_l(d_q), inv_aux(d_aux))
+        return fwd_l(mc.exact_to_q(y))            # (..., 3, L, Nloc)
+
     def step_local(idx, minus, table, mask, rb, ra):
         H = idx.shape[0]
         prod = mont_mul(idx[:, None], table[..., None, :, :], p, pinv)
         ip = modsum(prod, p, axis=2)              # (H, D_depth, 2, L, Nloc)
         ip = add_mod(ip, minus[None, None], p)
-        if is_bfv and H > 1:
-            # BFV -> BGV multiplication bridge (see fhe.bfv._to_mul_form)
-            ip = mont_mul(ip, t_mont, p, pinv)
         acc = ip[0]
         for h in range(1, H):
-            a0, a1 = acc[..., 0, :, :], acc[..., 1, :, :]
-            b0 = to_mont(ip[h][..., 0, :, :], p, pinv, r2)
-            b1 = to_mont(ip[h][..., 1, :, :], p, pinv, r2)
-            d0 = mont_mul(a0, b0, p, pinv)
-            d1 = add_mod(
-                mont_mul(a0, b1, p, pinv), mont_mul(a1, b0, p, pinv), p
-            )
-            d2 = mont_mul(a1, b1, p, pinv)
+            if is_bfv:
+                d = hps_mul_local(acc, ip[h])
+                d0, d1, d2 = d[..., 0, :, :], d[..., 1, :, :], d[..., 2, :, :]
+            else:
+                a0, a1 = acc[..., 0, :, :], acc[..., 1, :, :]
+                b0 = to_mont(ip[h][..., 0, :, :], p, pinv, r2)
+                b1 = to_mont(ip[h][..., 1, :, :], p, pinv, r2)
+                d0 = mont_mul(a0, b0, p, pinv)
+                d1 = add_mod(
+                    mont_mul(a0, b1, p, pinv), mont_mul(a1, b0, p, pinv), p
+                )
+                d2 = mont_mul(a1, b1, p, pinv)
             k0, k1 = relin_local(d0, d1, d2, rb, ra)
             acc = jnp.stack([k0, k1], axis=-3)
         return mont_mul(acc, mask[:, None], p, pinv)
@@ -179,9 +198,8 @@ def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
 
 def sp_result_form_scale(ctx: BGVContext, n_hash: int) -> tuple[str, int]:
     """(form, scale) of sp_sharded_pie_step's result ciphertext, matching
-    batched_pie_forward's host-side tracking."""
-    if ctx.default_form == "bfv" and n_hash > 1:
-        return "bgv", pow(ctx.t - ctx.r_t, n_hash, ctx.t)
+    batched_pie_forward's host-side tracking (BFV operands multiply via HPS,
+    which preserves form and the unit message scale)."""
     return ctx.default_form, 1
 
 
