@@ -143,8 +143,17 @@ class BFVContext(BGVContext):
         return out.reshape(phase.shape[:-2] + (self.n,)), 0.0
 
 
-def make_context(params: SchemeParams, seed: int = 0) -> BGVContext:
-    """Scheme factory matching the reference's --bgv switch."""
+def make_context(params: SchemeParams, seed: int | None = 0) -> BGVContext:
+    """Scheme factory matching the reference's --bgv switch.
+
+    seed=None draws the RNG key from OS entropy (secrets) -- required for any
+    context that generates secret keys in production paths (the reference
+    gets its entropy from OpenSSL). An explicit int seed is for tests only.
+    """
+    if seed is None:
+        import secrets
+
+        seed = secrets.randbits(63)
     if params.scheme == "bfv":
         return BFVContext(params, seed)
     return BGVContext(params, seed)

@@ -84,7 +84,7 @@ class BatchedFHEPSIClient(PSIClientBase):
         self.hasher = TabulationHashing(
             p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
         )
-        self.ctx = make_context(_scheme_params(p, ht), seed=time.time_ns() % 2**31)
+        self.ctx = make_context(_scheme_params(p, ht), seed=None)
         self.sk, self.pk = self.ctx.keygen()
         self.rlk = self.ctx.relin_keygen(self.sk)
         self.client_table = CuckooHashTable(
@@ -155,7 +155,7 @@ class BatchedFHEPSIServer(PSIServerBase):
                 num_limbs=limbs,
                 scheme="bgv" if is_bgv else "bfv",
             ),
-            seed=time.time_ns() % 2**31,
+            seed=None,
         )
         self.rlk = RelinKey(
             b_mont=jnp.asarray(self.channel.read_tensor()),

@@ -245,8 +245,21 @@ class PrecompElGamalPSIClient(_ElGamalClientBase):
         ht = self.ht
         n_pos = self.client_table.n_tables * ht.each_simple_table_size
         bits_per_pos = ht.n_cuckoo_hash_functions * ht.each_cuckoo_table_size
-        rng = np.random.Generator(np.random.Philox(key=self.params.item_seed ^ 0xB17))
-        self.random_bits = rng.integers(0, 2, size=(n_pos, bits_per_pos), dtype=np.uint8)
+        # The bit matrix must be unpredictable to the SERVER: the online
+        # correction vector is bits ^ one-hot(index), so any server-derivable
+        # stream leaks the client's positions. The reference draws a fresh
+        # client-private AES key (PrecompElGamalPSIClient.cpp:21-24); we do
+        # the same (AES-CTR keyed from OS entropy, never shared).
+        import secrets
+
+        from nested_hashing_psi_tpu.utils.prg import AesCtrPrg
+
+        self._prg = AesCtrPrg(secrets.token_bytes(16))
+        self.random_bits = (
+            self._prg.get_bits(n_pos * bits_per_pos)
+            .reshape(n_pos, bits_per_pos)
+            .astype(np.uint8)
+        )
         for pos in range(n_pos):
             self._send_cts([self.enc.encrypt(int(b)) for b in self.random_bits[pos]])
 

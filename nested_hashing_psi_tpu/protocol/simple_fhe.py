@@ -64,7 +64,7 @@ class SimpleFHEPSIClient(PSIClientBase):
         self.hasher = TabulationHashing(
             p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
         )
-        self.ctx = make_context(_scheme_params(p, ht), seed=time.time_ns() % 2**31)
+        self.ctx = make_context(_scheme_params(p, ht), seed=None)
         self.sk, self.pk = self.ctx.keygen()
         els = self.ctx.sum_ladder_elements()
         self.gks = self.ctx.galois_keygen(self.sk, els)
@@ -143,7 +143,7 @@ class SimpleFHEPSIServer(PSIServerBase):
                 num_limbs=limbs,
                 scheme="bgv" if is_bgv else "bfv",
             ),
-            seed=time.time_ns() % 2**31,
+            seed=None,
         )
         els = [int(k) for k in self.channel.read_tensor()]
         b = jnp.asarray(self.channel.read_tensor())
