@@ -12,9 +12,10 @@ Design:
    tables are (L, n) uint32 in Montgomery form so each butterfly is one
    ``mont_mul`` + add/sub on the VPU.
  - log2(n) stages are unrolled at trace time (static shapes); XLA fuses each
-   stage into a couple of elementwise kernels. A fused Pallas version that
-   keeps a residue polynomial resident in VMEM across stages lives in
-   ``ntt_pallas.py``.
+   stage into a couple of elementwise kernels. The fused Pallas kernel that
+   keeps a tile of residue polynomials VMEM-resident across all stages (one
+   HBM read + write per poly) is ``ops.ntt_pallas.ntt_pallas``; this jnp
+   form remains the CPU / sharded-path / oracle implementation.
 
 Bit-reversed transform order is an internal convention: pointwise ciphertext
 algebra is order-independent, and iNTT restores natural coefficient order.
