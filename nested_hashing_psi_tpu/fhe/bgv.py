@@ -518,6 +518,27 @@ class BGVContext:
     def shrink_key(self, sk: SecretKey) -> SecretKey:
         return SecretKey(s_mont=sk.s_mont[:-1], s_ntt=sk.s_ntt[:-1])
 
+    def context_for_limbs(self, n_limbs: int) -> "BGVContext":
+        """Walk the drop-limb chain down to a context over n_limbs limbs."""
+        ctx = self
+        while ctx.L > n_limbs:
+            ctx = ctx.drop_limb_context()
+        assert ctx.L == n_limbs, (self.L, n_limbs)
+        return ctx
+
+    def shrink_key_to(self, sk: SecretKey, n_limbs: int) -> SecretKey:
+        return SecretKey(s_mont=sk.s_mont[:n_limbs], s_ntt=sk.s_ntt[:n_limbs])
+
+    @staticmethod
+    def shrink_relin_key(rlk: RelinKey, n_limbs: int) -> RelinKey:
+        """A full-modulus RNS-CRT gadget key restricted to the child basis:
+        dropping the last digit row and limb column yields a valid key for
+        q' = q / q_last (the gadget g_k = 1 on limb k is basis-local)."""
+        return RelinKey(
+            b_mont=rlk.b_mont[:n_limbs, :n_limbs],
+            a_mont=rlk.a_mont[:n_limbs, :n_limbs],
+        )
+
     def mod_switch(self, ct: Ciphertext) -> Ciphertext:
         """BGV modulus switch: drop the last limb q_l, scaling noise by
         ~1/q_l. c' = (c - delta)/q_l with delta = c mod q_l corrected to

@@ -144,6 +144,8 @@ class PackedEncoder:
         exact object-array arithmetic. Returns uint64 when possible."""
         from nested_hashing_psi_tpu.utils import native
 
+        lead = x.shape[:-1]
+        x = x.reshape(-1, x.shape[-1])
         if x.dtype == object:
             x64 = np.array(
                 [[int(v) for v in row] for row in x], dtype=np.uint64
@@ -151,9 +153,9 @@ class PackedEncoder:
         else:
             x64 = x.astype(np.uint64)
         out = native.ntt_mod_t(x64, self.t, self.psi, inverse)
-        if out is not None:
-            return out
-        return _ntt_object(x.astype(object), self.t, self.psi, inverse=inverse)
+        if out is None:
+            out = _ntt_object(x.astype(object), self.t, self.psi, inverse=inverse)
+        return out.reshape(*lead, x.shape[-1])
 
     def centered(self, coeffs: np.ndarray) -> np.ndarray:
         """Lift [0,t) coefficients to centered representatives (object ints)."""

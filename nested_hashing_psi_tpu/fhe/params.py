@@ -52,29 +52,59 @@ def depth_for_cuckoo_table_size(each_cuckoo_table_size: int) -> int:
 
 
 def default_num_limbs(
-    t_bits: int, n_ct_mults: int, sum_len: int, scheme: str = "bgv"
+    t_bits: int,
+    n_ct_mults: int,
+    sum_len: int,
+    scheme: str = "bgv",
+    leveled: bool = False,
 ) -> int:
     """Worst-case-ish noise budget -> number of 31-bit limbs.
 
     n_ct_mults: sequential ct x ct multiplications (nCuckooHF - 1 in the
     batched PIE). sum_len: length of the ct x pt inner-product accumulation.
-    BFV pays ~2*t_bits extra per multiplication (t-scaling bridge, fhe.bfv)
-    plus t_bits of headroom for the Delta gap.
-    Validated empirically by tests/test_bgv.py noise-budget checks.
+
+    Models (validated empirically by tests/test_bgv.py and
+    tests/test_leveled_pie.py noise checks):
+     - BGV, flat: noise multiplies per ct x ct; budget the full product.
+     - BGV, leveled: the PIE drops one limb per multiplication (the
+       reference's MultiplicativeDepth schedule, BatchedFHEPSIClient.cpp:44-57);
+       each switch divides noise by ~2^31 down to the switching floor, so
+       the total is a small base + one limb per level.
+     - BFV (HPS multiplication, fhe.bfv): noise grows *additively*
+       (~ +t_bits+logn per multiplication), no switching needed.
     """
     import math
 
     logn = 14
     fresh = t_bits + 6
     ip = fresh + t_bits + logn + max(1, sum_len).bit_length()
-    acc = ip
-    for _ in range(max(0, n_ct_mults)):
-        acc = acc + ip + logn
-        if scheme == "bfv":
-            acc += 2 * t_bits
-    mask = acc + t_bits + logn
+    mults = max(0, n_ct_mults)
+
     if scheme == "bfv":
-        mask += t_bits
+        acc = ip
+        for _ in range(mults):
+            acc = acc + t_bits + logn + 2
+        mask = acc + t_bits + logn
+        margin = 25
+        return max(2, math.ceil((mask + margin) / LIMB_BITS))
+
+    if leveled and mults > 0:
+        floor = t_bits + 12  # mod-switch rounding floor ~ t * small
+        acc = max(ip - LIMB_BITS, floor)
+        for h in range(1, mults + 1):
+            op = max(ip - h * LIMB_BITS, floor)
+            acc = acc + op + logn
+            if h < mults:
+                acc = max(acc - LIMB_BITS, floor)
+        mask = acc + t_bits + logn
+        margin = 25
+        base = max(2, math.ceil((mask + margin) / LIMB_BITS))
+        return base + mults
+
+    acc = ip
+    for _ in range(mults):
+        acc = acc + ip + logn
+    mask = acc + t_bits + logn
     margin = 25
     return max(2, math.ceil((mask + margin) / LIMB_BITS))
 

@@ -175,8 +175,21 @@ def _rows_mask(M: int, span: int, ndim: int):
     return mask.reshape((1,) * (ndim - 2) + (M, 1))
 
 
-def ct_stage(X, s_row, t: int, p, pinv):
-    """u' = u + s*v ; v' = u - s*v with pair distance t down axis -2."""
+# Minimum pair distance for the reshape (u/v-split) form: below a sublane
+# tile the split view forces sub-tile relayouts, so fall back to rolls.
+SPLIT_MIN_T = 8
+
+
+def _v_twiddle(s_row, M: int, t: int):
+    """Per-row table (..., M, 1) -> v-half values (..., g, t, 1) (the table
+    stores the same twiddle on u and v rows; the split form consumes v's)."""
+    g = M // (2 * t)
+    lead = s_row.shape[:-2]
+    sv = s_row.reshape(*lead, g, 2, t, 1)
+    return sv[..., 1, :, :]
+
+
+def _ct_stage_roll(X, s_row, t: int, p, pinv):
     W = mont_mul(X, s_row, p, pinv)
     W_up = jnp.roll(W, -t, axis=-2)
     X_dn = jnp.roll(X, t, axis=-2)
@@ -184,8 +197,7 @@ def ct_stage(X, s_row, t: int, p, pinv):
     return jnp.where(is_u, add_mod(X, W_up, p), sub_mod(X_dn, W, p))
 
 
-def gs_stage(X, s_row, h: int, p, pinv):
-    """u' = u + v ; v' = (u - v) * s with pair distance h down axis -2."""
+def _gs_stage_roll(X, s_row, h: int, p, pinv):
     X_up = jnp.roll(X, -h, axis=-2)
     X_dn = jnp.roll(X, h, axis=-2)
     is_u = _rows_mask(X.shape[-2], h, X.ndim)
@@ -194,6 +206,49 @@ def gs_stage(X, s_row, h: int, p, pinv):
         add_mod(X, X_up, p),
         mont_mul(sub_mod(X_dn, X, p), s_row, p, pinv),
     )
+
+
+def _ct_stage_split(X, s_row, t: int, p, pinv):
+    *lead, M, lanes = X.shape
+    g = M // (2 * t)
+    Xr = X.reshape(*lead, g, 2, t, lanes)
+    u, v = Xr[..., 0, :, :], Xr[..., 1, :, :]
+    pb = p[..., None, :, :] if hasattr(p, "ndim") and p.ndim > 1 else p
+    pinvb = pinv[..., None, :, :] if hasattr(pinv, "ndim") and pinv.ndim > 1 else pinv
+    w = mont_mul(v, _v_twiddle(s_row, M, t), pb, pinvb)
+    out = jnp.stack([add_mod(u, w, pb), sub_mod(u, w, pb)], axis=-3)
+    return out.reshape(*lead, M, lanes)
+
+
+def _gs_stage_split(X, s_row, h: int, p, pinv):
+    *lead, M, lanes = X.shape
+    g = M // (2 * h)
+    Xr = X.reshape(*lead, g, 2, h, lanes)
+    u, v = Xr[..., 0, :, :], Xr[..., 1, :, :]
+    pb = p[..., None, :, :] if hasattr(p, "ndim") and p.ndim > 1 else p
+    pinvb = pinv[..., None, :, :] if hasattr(pinv, "ndim") and pinv.ndim > 1 else pinv
+    out = jnp.stack(
+        [
+            add_mod(u, v, pb),
+            mont_mul(sub_mod(u, v, pb), _v_twiddle(s_row, M, h), pb, pinvb),
+        ],
+        axis=-3,
+    )
+    return out.reshape(*lead, M, lanes)
+
+
+def ct_stage(X, s_row, t: int, p, pinv):
+    """u' = u + s*v ; v' = u - s*v with pair distance t down axis -2."""
+    if t >= SPLIT_MIN_T:
+        return _ct_stage_split(X, s_row, t, p, pinv)
+    return _ct_stage_roll(X, s_row, t, p, pinv)
+
+
+def gs_stage(X, s_row, h: int, p, pinv):
+    """u' = u + v ; v' = (u - v) * s with pair distance h down axis -2."""
+    if h >= SPLIT_MIN_T:
+        return _gs_stage_split(X, s_row, h, p, pinv)
+    return _gs_stage_roll(X, s_row, h, p, pinv)
 
 
 def _fwd_stages(X, s1, s2, tw, p, pinv, m1: int, m2: int):

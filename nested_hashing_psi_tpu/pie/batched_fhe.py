@@ -45,12 +45,20 @@ def batched_pie_forward(
     table_pt: jnp.ndarray,    # (H, D, P, L, N) packed server table (Montgomery)
     mask_pt: jnp.ndarray,     # (D, L, N) per-depth masks (Montgomery)
     use_kernel: bool = False,
+    leveled: bool = False,
 ) -> jnp.ndarray:
     """Depth-vectorized batched-PIE online step: used for the compile-check
     entry point, device-mesh sharding (depths = DP, limbs = TP; jnp path --
     GSPMD partitions it) and, with use_kernel=True, the fused Pallas
-    position-sum kernel on TPU. Returns the result Ciphertext (D, 2, L, N)
-    carrying the scheme form and message scale."""
+    position-sum kernel on TPU. Returns the result Ciphertext (D, 2, L', N)
+    carrying the scheme form and message scale.
+
+    leveled=True (BGV, t < 2^31) switches modulus down the cross-hash
+    multiplication chain (the reference's MultiplicativeDepth schedule,
+    BatchedFHEPSIClient.cpp:44-57): every ct is dropped one limb before each
+    multiplication, so the expensive tensor products and relinearizations run
+    at a shrinking limb count and the result ships with L - (H-1) limbs.
+    """
     H = idx_data.shape[0]
     if use_kernel:
         from nested_hashing_psi_tpu.ops.pie_kernels import indexed_inner_product
@@ -64,10 +72,44 @@ def batched_pie_forward(
     ip = add_mod(ip, minus_data[None, None], ctx.p)
     # intermediate ciphertexts carry the context's native form (bgv/bfv)
     acc = Ciphertext(ip[0], ctx.default_form, 1)  # batched over D
+    if not leveled or H == 1:
+        for h in range(1, H):
+            acc = ctx.ct_ct_mul_relin(
+                acc, Ciphertext(ip[h], ctx.default_form, 1), rlk
+            )
+        return Ciphertext(
+            mont_mul(acc.data, mask_pt[:, None], ctx.p, ctx.pinv),
+            acc.form,
+            acc.scale,
+        )
+
+    assert ctx.default_form == "bgv", "leveled path is BGV-only"
+    # chain[lvl] operates over L - lvl limbs; multiplication h runs at level
+    # h (both operands dropped one limb first), so tensor product + relin
+    # cost shrinks down the chain.
+    chain = [ctx]
+    for _ in range(H - 1):
+        chain.append(chain[-1].drop_limb_context())
+
+    def switch_to(ct, cur_lvl: int, dst_lvl: int) -> Ciphertext:
+        for lv in range(cur_lvl, dst_lvl):
+            ct = chain[lv].mod_switch(ct)
+        return ct
+
+    ops = [Ciphertext(ip[h], "bgv", 1) for h in range(H)]
+    acc = switch_to(ops[0], 0, 1)
     for h in range(1, H):
-        acc = ctx.ct_ct_mul_relin(acc, Ciphertext(ip[h], ctx.default_form, 1), rlk)
+        op = switch_to(ops[h], 0, h)
+        acc = chain[h].ct_ct_mul_relin(
+            acc, op, ctx.shrink_relin_key(rlk, chain[h].L)
+        )
+        if h < H - 1:
+            acc = chain[h].mod_switch(acc)
+    final = chain[H - 1]
     return Ciphertext(
-        mont_mul(acc.data, mask_pt[:, None], ctx.p, ctx.pinv), acc.form, acc.scale
+        mont_mul(acc.data, mask_pt[:, None, : final.L, :], final.p, final.pinv),
+        acc.form,
+        acc.scale,
     )
 
 
@@ -80,6 +122,7 @@ class BatchedFHEPIE:
         hct: HierarchicalCuckooHashTable,
         rlk: RelinKey,
         mask_seed: int | None = None,
+        leveled: bool | None = None,
     ):
         if hct.server_stash_size != 0:
             raise ValueError("batched FHE PIE does not support a stash")
@@ -88,6 +131,14 @@ class BatchedFHEPIE:
         self.ctx = ctx
         self.rlk = rlk
         self.H = hct.n_cuckoo_hash_functions
+        if leveled is None:
+            leveled = (
+                ctx.default_form == "bgv"
+                and ctx.t < 2**31
+                and self.H > 1
+                and ctx.L - (self.H - 1) >= 2
+            )
+        self.leveled = leveled
         self.D = hct.max_items_per_position
         self.P = hct.each_cuckoo_table_size
         self.batch_slots = hct.n_simple_tables * hct.each_simple_table_size
@@ -125,6 +176,12 @@ class BatchedFHEPIE:
         Returns result ciphertexts (D, 2, L, N)."""
         if self._run is None:
             use_kernel = jax.default_backend() == "tpu"
+            if self.leveled:
+                # build the drop-limb chain eagerly (constants must exist
+                # before tracing)
+                c = self.ctx
+                for _ in range(self.H - 1):
+                    c = c.drop_limb_context()
             self._run = jax.jit(
                 lambda i, m: batched_pie_forward(
                     self.ctx,
@@ -134,6 +191,7 @@ class BatchedFHEPIE:
                     self.table_pt,
                     self.mask_pt,
                     use_kernel=use_kernel,
+                    leveled=self.leveled,
                 )
             )
         return self._run(index_cts, minus_ct)

@@ -53,11 +53,15 @@ PROTOCOL_NAME = "BatchedFHE"
 def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
     t = plaintext_modulus_for_bit_size(psi.bit_size)
     scheme = "bgv" if psi.bgv else "bfv"  # reference default is BFV
+    # the BGV PIE runs leveled (one limb dropped per cross-hash mult) when
+    # t fits device mod-t arithmetic -- mirror BatchedFHEPIE's default
+    leveled = scheme == "bgv" and t < 2**31 and ht.n_cuckoo_hash_functions > 1
     limbs = psi.num_limbs or default_num_limbs(
         t.bit_length(),
         ht.n_cuckoo_hash_functions - 1,
         ht.each_cuckoo_table_size,
         scheme,
+        leveled=leveled,
     )
     sp = SchemeParams(
         ring_dim=psi.ring_dim,
@@ -129,7 +133,12 @@ class BatchedFHEPSIClient(PSIClientBase):
         result = Ciphertext(
             jnp.asarray(self.channel.read_tensor()), form, int(meta[1])
         )
-        slots, noise = self.ctx.decrypt(result, self.sk, length=self.ht.batch_slots)
+        # a leveled server ships fewer limbs; decrypt in the matching child
+        # context with the shrunk key
+        n_limbs = result.data.shape[-2]
+        dctx = self.ctx.context_for_limbs(n_limbs)
+        dsk = self.ctx.shrink_key_to(self.sk, n_limbs)
+        slots, noise = dctx.decrypt(result, dsk, length=self.ht.batch_slots)
         self.noise_bits = noise
         self.intersection_calculated = self.client_ops.extract_intersection(
             np.asarray(slots)
