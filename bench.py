@@ -1,12 +1,23 @@
 """Benchmark driver: prints ONE JSON line with the north-star metric.
 
-Metric (BASELINE.json): NTT throughput at n = 2^14 over 6 RNS limbs on one
-chip, reported as single-limb negacyclic transforms per second.
+Metric (BASELINE.json): NTT throughput at n = 2^14 over 31-bit RNS limbs on
+one chip, reported as single-limb negacyclic transforms per second.
 
-vs_baseline is measured throughput relative to the HBM speed-of-light for a
-*fused* NTT (read + write each residue polynomial once: 2 * n * 4 bytes per
-limb-transform at the chip's HBM bandwidth) -- the reference publishes no
-numbers (BASELINE.md), so the roofline is the bar.
+Honesty rules (VERDICT round 1 "benchmark honesty"):
+ - the headline number is HBM-RESIDENT: the batch working set (~192 MB in +
+   192 MB out) far exceeds VMEM, so every byte really crosses HBM. It runs
+   the fused Pallas kernel (ops/ntt_pallas.py) that keeps each tile resident
+   across all butterfly stages.
+ - `vs_baseline` is measured against the fused-NTT HBM speed of light
+   (read + write each residue poly once at ~819 GB/s). The kernel is
+   VPU-compute-bound (~34 uint32 ops per Montgomery butterfly), so this
+   ratio is honestly far below 1; `vmem_resident` preserves the round-1
+   cache-resident number for continuity, and `jnp_hbm` shows the unfused
+   baseline the kernel beats.
+ - `pie_online` times the COMPLETE batched-PIE online step (the reference's
+   BatchedFHEHIPPIE::run hot loop) at the Parameters1.txt 2^20-server /
+   2048-client geometry (H=2, D=12, P=12, batch 16044 slots, ring 16384),
+   with modmul-throughput accounting from profiling.batched_pie_op_counts.
 """
 
 import json
@@ -18,48 +29,114 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 N = 1 << 14
 LIMBS = 6
-BATCH = 16
 HBM_BYTES_PER_SEC = 819e9  # TPU v5e ~819 GB/s
+VMEM_BATCH = 16
+HBM_BATCH = 512  # 512 * 6 * 64 KiB = 192 MiB working set per direction
+
+
+def _rate(fn, x, unit_count, target_s=2.0):
+    import jax
+
+    fn(x).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    fn(x).block_until_ready()
+    per = time.perf_counter() - t0
+    iters = max(3, int(target_s / max(per, 1e-5)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fn(x)
+    y.block_until_ready()
+    return unit_count * iters / (time.perf_counter() - t0)
+
+
+def bench_ntt():
+    import jax
+    import jax.numpy as jnp
+
+    from nested_hashing_psi_tpu.ops import primes
+    from nested_hashing_psi_tpu.ops.ntt import NTTPlan, ntt
+    from nested_hashing_psi_tpu.ops.ntt_pallas import SplitNTTPlan, ntt_pallas
+
+    ps = primes.ntt_primes(LIMBS, 31, 2 * N)
+    plan = NTTPlan(N, ps)
+    sp = SplitNTTPlan(N, ps)
+    rng = np.random.default_rng(0)
+
+    def data(batch):
+        return jnp.asarray(
+            rng.integers(0, min(ps), size=(batch, LIMBS, N), dtype=np.uint64),
+            jnp.uint32,
+        )
+
+    jnp_fn = jax.jit(lambda a: ntt(a, plan))
+    pallas_fn = lambda a: ntt_pallas(a, sp)
+
+    x_small, x_big = data(VMEM_BATCH), data(HBM_BATCH)
+    vmem_rate = _rate(jnp_fn, x_small, VMEM_BATCH * LIMBS)
+    jnp_hbm_rate = _rate(jnp_fn, x_big, HBM_BATCH * LIMBS)
+    pallas_rate = _rate(pallas_fn, x_big, HBM_BATCH * LIMBS)
+    return vmem_rate, jnp_hbm_rate, pallas_rate
+
+
+def bench_pie_online():
+    """Full batched-PIE online step at the Parameters1.txt 2^20 x 2048 row."""
+    import jax
+
+    from __graft_entry__ import _build_small_pie
+    from nested_hashing_psi_tpu.fhe.params import default_num_limbs
+    from nested_hashing_psi_tpu.utils.profiling import batched_pie_op_counts
+
+    H, D, P, simple = 2, 12, 12, 8022
+    t = (1 << 32) + (1 << 20) + (1 << 19) + 1  # 32-bit items
+    L = default_num_limbs(t.bit_length(), H - 1, P, "bfv")
+    ctx, sk, rlk, pie, ops, idx_ct, minus_ct = _build_small_pie(
+        ring=N, limbs=L, H=H, P=P, D=D, simple=simple, t=t, scheme="bfv"
+    )
+
+    t0 = time.perf_counter()
+    out = pie.run(idx_ct, minus_ct)
+    out.data.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pie.run(idx_ct, minus_ct)
+    out.data.block_until_ready()
+    ms = (time.perf_counter() - t0) / iters * 1e3
+
+    counts = batched_pie_op_counts(H, D, P, ctx.L, ctx.n)
+    modmuls = counts.get("modmul", 0.0)
+    return {
+        "config": "server=2^20 client=2048 (Parameters1.txt row 12)",
+        "H": H,
+        "D": D,
+        "P": P,
+        "limbs": ctx.L,
+        "batch_slots": 2 * simple,
+        "ms_per_query": round(ms, 2),
+        "depth_rows_per_sec": round(D / (ms / 1e3), 1),
+        "modmul_gops": round(modmuls / (ms / 1e3) / 1e9, 2),
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def main():
-    from nested_hashing_psi_tpu.ops import primes
-    from nested_hashing_psi_tpu.ops.ntt import NTTPlan, ntt
-
-    plan = NTTPlan(N, primes.ntt_primes(LIMBS, 31, 2 * N))
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        rng.integers(0, min(plan.primes), size=(BATCH, LIMBS, N), dtype=np.uint64),
-        jnp.uint32,
-    )
-    fn = jax.jit(lambda a: ntt(a, plan))
-    fn(x).block_until_ready()  # compile
-
-    # choose iters for ~2s of runtime
-    t0 = time.perf_counter()
-    fn(x).block_until_ready()
-    per_call = time.perf_counter() - t0
-    iters = max(3, int(2.0 / max(per_call, 1e-5)))
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(iters):
-        y = fn(y)
-    y.block_until_ready()
-    elapsed = time.perf_counter() - t0
-
-    limb_ntts = BATCH * LIMBS * iters
-    value = limb_ntts / elapsed
+    vmem_rate, jnp_hbm_rate, pallas_rate = bench_ntt()
+    pie = bench_pie_online()
     roofline = HBM_BYTES_PER_SEC / (2 * N * 4)  # fused NTT: one read+write
     result = {
         "metric": "ntt_per_sec_per_chip_n16384",
-        "value": round(value, 1),
+        "value": round(pallas_rate, 1),
         "unit": "limb-transforms/s",
-        "vs_baseline": round(value / roofline, 4),
+        "vs_baseline": round(pallas_rate / roofline, 4),
+        "resident": "hbm",
+        "hbm_batch": HBM_BATCH,
+        "jnp_hbm": round(jnp_hbm_rate, 1),
+        "vmem_resident": round(vmem_rate, 1),
+        "pie_online": pie,
     }
     print(json.dumps(result))
 

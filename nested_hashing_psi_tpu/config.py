@@ -31,10 +31,14 @@ class PSIParams:
     bgv: bool = False
     batched: bool = False
     # Framework extensions (not in the reference CLI): FHE ring dimension
-    # override (16384 in the reference, smaller in tests) and optional limb
-    # count override for the RNS modulus (None = noise-budget heuristic).
+    # override (16384 in the reference, smaller in tests), optional limb
+    # count override for the RNS modulus (None = noise-budget heuristic),
+    # and online-upload streaming: >1 splits the batched index matrix into
+    # chunks so the server overlaps receive with compute (the reference's
+    # SimpleFHEPSIServer.cpp:128-153 overlap, generalized).
     ring_dim: int = 16384
     num_limbs: int | None = None
+    stream_chunks: int = 1
 
 
 @dataclass(frozen=True)
@@ -81,6 +85,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--curve", type=str, default="P-256")
     ap.add_argument("--bgv", action="store_true")
     ap.add_argument("--batched", action="store_true")
+    ap.add_argument("--ringDim", type=int, default=16384)
+    ap.add_argument("--numLimbs", type=int, default=None)
+    ap.add_argument(
+        "--streamChunks", type=int, default=1,
+        help="split the online index upload into N chunks (overlaps server "
+        "receive with compute)",
+    )
     return ap
 
 
@@ -102,6 +113,9 @@ def params_from_args(args: argparse.Namespace) -> tuple[PSIParams, HashTablePara
         curve_name=args.curve,
         bgv=args.bgv,
         batched=args.batched,
+        ring_dim=args.ringDim,
+        num_limbs=args.numLimbs,
+        stream_chunks=args.streamChunks,
     )
     ht = HashTableParams(
         each_simple_table_size=args.eachSimpleTableSize,

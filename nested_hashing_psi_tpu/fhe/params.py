@@ -42,6 +42,13 @@ def plaintext_modulus_for_bit_size(bit_size: int) -> int:
     return PLAINTEXT_MODULI[bit_size]
 
 
+def leveled_default(scheme: str, t: int, n_cuckoo_hash_functions: int) -> bool:
+    """Whether the batched PIE should run leveled (BGV mod-switch chain):
+    BGV with device-arithmetic-sized t and at least one ct x ct mult.
+    BFV uses HPS multiplication (additive noise) and never switches."""
+    return scheme == "bgv" and t < 2**31 and n_cuckoo_hash_functions > 1
+
+
 def depth_for_cuckoo_table_size(each_cuckoo_table_size: int) -> int:
     """Reference depth schedule (BatchedFHEPSIClient.cpp:44-57)."""
     if each_cuckoo_table_size < 500:

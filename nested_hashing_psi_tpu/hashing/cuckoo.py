@@ -32,6 +32,156 @@ class CuckooFailure(RuntimeError):
     """Raised when items cannot be placed (reference: CuckooHashTable.cpp:113)."""
 
 
+class CuckooBuilder:
+    """Incremental bulk cuckoo construction with bounded working memory.
+
+    Items stream in through `insert_chunk` (each chunk runs the batched
+    random-evict rounds against the shared table state); `finish` applies the
+    stash fallback. Peak memory is O(chunk + table) instead of O(total items)
+    -- the streamed-offline-build requirement for 2^24+ server sets
+    (SURVEY.md section 7 hard-part 4).
+    """
+
+    def __init__(
+        self,
+        *,
+        n_bins: int,
+        hasher: TabulationHashing,
+        starting_hash_id: int,
+        n_hash_functions: int,
+        table_size: int,
+        max_items_per_position: int,
+        stash_size: int = 0,
+        multi_table: bool = True,
+        seed: int = 0,
+        max_rounds: int = 2000,
+    ):
+        self.n_bins = n_bins
+        self.hasher = hasher
+        self.starting_hash_id = starting_hash_id
+        self.n_hash_functions = n_hash_functions
+        self.table_size = table_size
+        self.max_pp = max_items_per_position
+        self.stash_size = stash_size
+        self.multi_table = multi_table
+        self.max_rounds = max_rounds
+        n_tables = n_hash_functions if multi_table else 1
+        self.n_tables = n_tables
+        self.T = np.zeros(
+            (n_bins, n_tables, self.max_pp, table_size, 2), dtype=np.uint64
+        )
+        self.stash = np.zeros((n_bins, stash_size, 2), dtype=np.uint64)
+        self.occ = np.zeros((n_bins, n_tables, table_size), dtype=np.int64)
+        self._rng = np.random.Generator(np.random.Philox(key=seed))
+        self._tbl_of_hf = (
+            np.arange(n_hash_functions)
+            if multi_table
+            else np.zeros(n_hash_functions, np.int64)
+        ).astype(np.int64)
+        self._unplaced_items: list[np.ndarray] = []
+        self._unplaced_bins: list[np.ndarray] = []
+
+    def insert_chunk(self, items: np.ndarray, bin_ids: np.ndarray) -> None:
+        """Run the batched insertion rounds for one chunk of (item, bin)
+        pairs against the shared table. Chunk-local duplicates are skipped
+        (reference lookUp check, CuckooHashTable.cpp:78); duplicates across
+        chunks each occupy a slot (documented divergence -- they only cost
+        capacity, never correctness of the zero-test)."""
+        if len(items) == 0:
+            return
+        key = np.stack(
+            [bin_ids.astype(np.uint64), items[:, 0], items[:, 1]], axis=1
+        )
+        _, uniq_idx = np.unique(key, axis=0, return_index=True)
+        pend_items = items[np.sort(uniq_idx)]
+        pend_bins = bin_ids[np.sort(uniq_idx)].astype(np.int64)
+
+        T, occ, rng = self.T, self.occ, self._rng
+        n_tables, max_pp, table_size = self.n_tables, self.max_pp, self.table_size
+        tbl_of_hf = self._tbl_of_hf
+
+        for rnd in range(self.max_rounds):
+            m = len(pend_items)
+            if m == 0:
+                break
+            # Candidate position per hash function: (m, n_hf)
+            pos = np.stack(
+                [
+                    self.hasher.hash_index(
+                        pend_items, self.starting_hash_id + h, table_size
+                    )
+                    for h in range(self.n_hash_functions)
+                ],
+                axis=1,
+            )
+            occ_h = occ[pend_bins[:, None], tbl_of_hf[None, :], pos]  # (m, n_hf)
+            free = occ_h < max_pp
+            has_free = free.any(axis=1)
+            first_free_hf = np.argmax(free, axis=1)
+
+            evict_hf = np.full(m, rnd % self.n_hash_functions, dtype=np.int64)
+            hf_sel = np.where(has_free, first_free_hf, evict_hf)
+            tbl_sel = tbl_of_hf[hf_sel]
+            pos_sel = pos[np.arange(m), hf_sel]
+            depth_free = occ_h[np.arange(m), hf_sel]
+            depth_evict = rng.integers(0, max_pp, size=m)
+            depth_sel = np.where(has_free, depth_free, depth_evict)
+
+            # Single writer per slot: first pending item targeting each unique
+            # (bin, table, pos, depth) wins this round; losers retry next round.
+            slot_key = (
+                (pend_bins * n_tables + tbl_sel) * max_pp + depth_sel
+            ) * table_size + pos_sel
+            _, win_idx = np.unique(slot_key, return_index=True)
+            winner = np.zeros(m, dtype=bool)
+            winner[win_idx] = True
+
+            wb, wt, wp, wd = (
+                pend_bins[winner],
+                tbl_sel[winner],
+                pos_sel[winner],
+                depth_sel[winner],
+            )
+            w_items = pend_items[winner]
+            w_free = has_free[winner]
+
+            prev = T[wb, wt, wd, wp]  # occupants before write (0 for free case)
+            T[wb, wt, wd, wp] = w_items
+            occ[wb[w_free], wt[w_free], wp[w_free]] += 1
+
+            evicted_mask = ~w_free
+            ev_items = prev[evicted_mask]
+            ev_bins = wb[evicted_mask]
+
+            pend_items = np.concatenate([pend_items[~winner], ev_items])
+            pend_bins = np.concatenate([pend_bins[~winner], ev_bins])
+
+        if len(pend_items):
+            self._unplaced_items.append(pend_items)
+            self._unplaced_bins.append(pend_bins)
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray]:
+        """Apply the stash fallback; raises CuckooFailure on overflow
+        (reference: CuckooHashTable.cpp:104-113)."""
+        if self._unplaced_items:
+            pend_items = np.concatenate(self._unplaced_items)
+            pend_bins = np.concatenate(self._unplaced_bins)
+            stash_fill = np.zeros(self.n_bins, dtype=np.int64)
+            leftover = 0
+            for it, b in zip(pend_items, pend_bins):
+                if stash_fill[b] < self.stash_size:
+                    self.stash[b, stash_fill[b]] = it
+                    stash_fill[b] += 1
+                else:
+                    leftover += 1
+            if leftover:
+                raise CuckooFailure(
+                    f"(Blocked) Cuckoo hashing error: {leftover} items "
+                    f"unplaced after {self.max_rounds} rounds"
+                )
+        return self.T, self.stash
+
+
 def batched_cuckoo_insert(
     items: np.ndarray,
     bin_ids: np.ndarray,
@@ -46,106 +196,31 @@ def batched_cuckoo_insert(
     multi_table: bool = True,
     seed: int = 0,
     max_rounds: int = 2000,
+    chunk_items: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Insert (item, bin) pairs into per-bin blocked cuckoo tables, in bulk.
 
-    Returns (table, stash):
+    chunk_items bounds working memory by streaming the pairs through a
+    CuckooBuilder in slices. Returns (table, stash):
       table: (n_bins, n_tables, max_pp, table_size, 2) uint64, 0 = empty
       stash: (n_bins, stash_size, 2) uint64
     """
-    n_tables = n_hash_functions if multi_table else 1
-    max_pp = max_items_per_position
-    T = np.zeros((n_bins, n_tables, max_pp, table_size, 2), dtype=np.uint64)
-    stash = np.zeros((n_bins, stash_size, 2), dtype=np.uint64)
-    occ = np.zeros((n_bins, n_tables, table_size), dtype=np.int64)
-
-    if len(items) == 0:
-        return T, stash
-
-    # Dedupe (bin, item) pairs: reference skips items already present (lookUp
-    # check at CuckooHashTable.cpp:78).
-    key = np.stack(
-        [bin_ids.astype(np.uint64), items[:, 0], items[:, 1]], axis=1
+    builder = CuckooBuilder(
+        n_bins=n_bins,
+        hasher=hasher,
+        starting_hash_id=starting_hash_id,
+        n_hash_functions=n_hash_functions,
+        table_size=table_size,
+        max_items_per_position=max_items_per_position,
+        stash_size=stash_size,
+        multi_table=multi_table,
+        seed=seed,
+        max_rounds=max_rounds,
     )
-    _, uniq_idx = np.unique(key, axis=0, return_index=True)
-    pend_items = items[np.sort(uniq_idx)]
-    pend_bins = bin_ids[np.sort(uniq_idx)].astype(np.int64)
-
-    rng = np.random.Generator(np.random.Philox(key=seed))
-    tbl_of_hf = (
-        np.arange(n_hash_functions) if multi_table else np.zeros(n_hash_functions, np.int64)
-    ).astype(np.int64)
-
-    for rnd in range(max_rounds):
-        m = len(pend_items)
-        if m == 0:
-            break
-        # Candidate position per hash function: (m, n_hf)
-        pos = np.stack(
-            [
-                hasher.hash_index(pend_items, starting_hash_id + h, table_size)
-                for h in range(n_hash_functions)
-            ],
-            axis=1,
-        )
-        occ_h = occ[pend_bins[:, None], tbl_of_hf[None, :], pos]  # (m, n_hf)
-        free = occ_h < max_pp
-        has_free = free.any(axis=1)
-        first_free_hf = np.argmax(free, axis=1)
-
-        evict_hf = np.full(m, rnd % n_hash_functions, dtype=np.int64)
-        hf_sel = np.where(has_free, first_free_hf, evict_hf)
-        tbl_sel = tbl_of_hf[hf_sel]
-        pos_sel = pos[np.arange(m), hf_sel]
-        depth_free = occ_h[np.arange(m), hf_sel]
-        depth_evict = rng.integers(0, max_pp, size=m)
-        depth_sel = np.where(has_free, depth_free, depth_evict)
-
-        # Single writer per slot: first pending item targeting each unique
-        # (bin, table, pos, depth) wins this round; losers retry next round.
-        slot_key = (
-            (pend_bins * n_tables + tbl_sel) * max_pp + depth_sel
-        ) * table_size + pos_sel
-        _, win_idx = np.unique(slot_key, return_index=True)
-        winner = np.zeros(m, dtype=bool)
-        winner[win_idx] = True
-
-        wb, wt, wp, wd = (
-            pend_bins[winner],
-            tbl_sel[winner],
-            pos_sel[winner],
-            depth_sel[winner],
-        )
-        w_items = pend_items[winner]
-        w_free = has_free[winner]
-
-        prev = T[wb, wt, wd, wp]  # occupants before write (0 for free case)
-        T[wb, wt, wd, wp] = w_items
-        occ[wb[w_free], wt[w_free], wp[w_free]] += 1
-
-        evicted_mask = ~w_free
-        ev_items = prev[evicted_mask]
-        ev_bins = wb[evicted_mask]
-
-        pend_items = np.concatenate([pend_items[~winner], ev_items])
-        pend_bins = np.concatenate([pend_bins[~winner], ev_bins])
-
-    if len(pend_items):
-        # Stash fallback (reference: CuckooHashTable.cpp:104-113).
-        stash_fill = np.zeros(n_bins, dtype=np.int64)
-        leftover = 0
-        for it, b in zip(pend_items, pend_bins):
-            if stash_fill[b] < stash_size:
-                stash[b, stash_fill[b]] = it
-                stash_fill[b] += 1
-            else:
-                leftover += 1
-        if leftover:
-            raise CuckooFailure(
-                f"(Blocked) Cuckoo hashing error: {leftover} items unplaced "
-                f"after {max_rounds} rounds"
-            )
-    return T, stash
+    step = chunk_items or max(1, len(items))
+    for i in range(0, len(items), step):
+        builder.insert_chunk(items[i : i + step], bin_ids[i : i + step])
+    return builder.finish()
 
 
 class CuckooHashTable:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from nested_hashing_psi_tpu.config import HashTableParams
-from nested_hashing_psi_tpu.hashing.cuckoo import batched_cuckoo_insert
+from nested_hashing_psi_tpu.hashing.cuckoo import CuckooBuilder, CuckooFailure
 from nested_hashing_psi_tpu.hashing.tabulation import TabulationHashing
 
 
@@ -84,50 +84,69 @@ class HierarchicalCuckooHashTable:
             seed=seed,
         )
 
-    def insert_all(self, items: np.ndarray) -> None:
-        """Bulk-build the nested structure from (n, 2)-uint64 items."""
-        s_size = self.each_simple_table_size
-        if self.simple_multi_table:
-            # Each item goes into every simple table (one per simple hash fn).
-            outer_pos = np.stack(
-                [
-                    self.hasher.hash_index(items, h, s_size)
-                    for h in range(self.n_simple_hash_functions)
-                ],
-                axis=0,
-            )  # (nSimpleHF, n)
-            outer_tbl = np.repeat(
-                np.arange(self.n_simple_tables), len(items)
-            )  # (nSimpleHF*n,)
-            bin_ids = outer_tbl * s_size + outer_pos.reshape(-1)
-            all_items = np.tile(items, (self.n_simple_hash_functions, 1))
-        else:
-            # Combined simple table: every simple hash fn maps into table 0
-            # (reference: generateMultiHashSimpleHashTable, HashUtils.cpp:71-86).
-            outer_pos = np.stack(
-                [
-                    self.hasher.hash_index(items, h, s_size)
-                    for h in range(self.n_simple_hash_functions)
-                ],
-                axis=0,
-            )
-            bin_ids = outer_pos.reshape(-1)
-            all_items = np.tile(items, (self.n_simple_hash_functions, 1))
+    def insert_all(
+        self,
+        items: np.ndarray,
+        chunk_items: int | None = None,
+        retries: int = 2,
+    ) -> None:
+        """Bulk-build the nested structure from (n, 2)-uint64 items.
 
+        chunk_items streams the build in bounded-memory slices (default: up
+        to ~2^21 pairs in flight) -- required for 2^24+ server sets. On
+        CuckooFailure the build retries with a bumped eviction seed (the
+        seed only steers eviction randomness, never the hash functions), the
+        failure-recovery policy SURVEY.md section 5 plans.
+        """
+        if chunk_items is None:
+            chunk_items = 1 << 21
+        s_size = self.each_simple_table_size
         n_bins = self.n_simple_tables * s_size
-        T, stash = batched_cuckoo_insert(
-            all_items,
-            bin_ids,
-            n_bins=n_bins,
-            hasher=self.hasher,
-            starting_hash_id=self.n_simple_hash_functions,
-            n_hash_functions=self.n_cuckoo_hash_functions,
-            table_size=self.each_cuckoo_table_size,
-            max_items_per_position=self.max_items_per_position,
-            stash_size=self.server_stash_size,
-            multi_table=self.cuckoo_multi_table,
-            seed=self.seed,
-        )
+
+        last_err: CuckooFailure | None = None
+        for attempt in range(retries + 1):
+            builder = CuckooBuilder(
+                n_bins=n_bins,
+                hasher=self.hasher,
+                starting_hash_id=self.n_simple_hash_functions,
+                n_hash_functions=self.n_cuckoo_hash_functions,
+                table_size=self.each_cuckoo_table_size,
+                max_items_per_position=self.max_items_per_position,
+                stash_size=self.server_stash_size,
+                multi_table=self.cuckoo_multi_table,
+                seed=self.seed + attempt,
+            )
+            for i in range(0, max(len(items), 1), chunk_items):
+                chunk = items[i : i + chunk_items]
+                if len(chunk) == 0:
+                    continue
+                # Each item goes into every simple table (one per simple
+                # hash fn); with a combined table every fn maps into table 0
+                # (reference: generateMultiHashSimpleHashTable, HashUtils.cpp:71-86).
+                outer_pos = np.stack(
+                    [
+                        self.hasher.hash_index(chunk, h, s_size)
+                        for h in range(self.n_simple_hash_functions)
+                    ],
+                    axis=0,
+                )  # (nSimpleHF, chunk)
+                if self.simple_multi_table:
+                    outer_tbl = np.repeat(
+                        np.arange(self.n_simple_tables), len(chunk)
+                    )
+                    bin_ids = outer_tbl * s_size + outer_pos.reshape(-1)
+                else:
+                    bin_ids = outer_pos.reshape(-1)
+                all_items = np.tile(chunk, (self.n_simple_hash_functions, 1))
+                builder.insert_chunk(all_items, bin_ids)
+            try:
+                T, stash = builder.finish()
+                break
+            except CuckooFailure as e:
+                last_err = e
+        else:
+            raise last_err
+
         self.table = T.reshape(
             self.n_simple_tables,
             s_size,

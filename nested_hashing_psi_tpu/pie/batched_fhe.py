@@ -59,16 +59,39 @@ def batched_pie_forward(
     multiplication, so the expensive tensor products and relinearizations run
     at a shrinking limb count and the result ships with L - (H-1) limbs.
     """
-    H = idx_data.shape[0]
+    ip = position_sum(ctx, idx_data, table_pt, use_kernel=use_kernel)
+    return combine_ip(ctx, rlk, ip, minus_data, mask_pt, leveled=leveled)
+
+
+def position_sum(
+    ctx: BGVContext,
+    idx_data: jnp.ndarray,   # (H, Pc, 2, L, N) index-ciphertext slice
+    table_pt: jnp.ndarray,   # (H, D, Pc, L, N) matching table slice
+    use_kernel: bool = False,
+) -> jnp.ndarray:
+    """Per-(hash, depth) position-summed ct x pt products: (H, D, 2, L, N).
+    Additive over position slices -- the unit of the streamed online path."""
     if use_kernel:
         from nested_hashing_psi_tpu.ops.pie_kernels import indexed_inner_product
 
-        ip = indexed_inner_product(idx_data, table_pt, ctx.p, ctx.pinv)
-    else:
-        prod = mont_mul(
-            idx_data[:, None], table_pt[..., None, :, :], ctx.p, ctx.pinv
-        )  # (H, D, P, 2, L, N)
-        ip = modsum(prod, ctx.p, axis=2)          # (H, D, 2, L, N)
+        return indexed_inner_product(idx_data, table_pt, ctx.p, ctx.pinv)
+    prod = mont_mul(
+        idx_data[:, None], table_pt[..., None, :, :], ctx.p, ctx.pinv
+    )  # (H, D, P, 2, L, N)
+    return modsum(prod, ctx.p, axis=2)            # (H, D, 2, L, N)
+
+
+def combine_ip(
+    ctx: BGVContext,
+    rlk: RelinKey,
+    ip: jnp.ndarray,          # (H, D, 2, L, N) position sums
+    minus_data: jnp.ndarray,  # (2, L, N)
+    mask_pt: jnp.ndarray,     # (D, L, N)
+    leveled: bool = False,
+) -> Ciphertext:
+    """Finish the PIE: add -elem, multiply across hash functions (+relin,
+    optionally mod-switching down a level per mult), apply the masks."""
+    H = ip.shape[0]
     ip = add_mod(ip, minus_data[None, None], ctx.p)
     # intermediate ciphertexts carry the context's native form (bgv/bfv)
     acc = Ciphertext(ip[0], ctx.default_form, 1)  # batched over D
@@ -122,7 +145,7 @@ class BatchedFHEPIE:
         hct: HierarchicalCuckooHashTable,
         rlk: RelinKey,
         mask_seed: int | None = None,
-        leveled: bool | None = None,
+        leveled: bool = False,
     ):
         if hct.server_stash_size != 0:
             raise ValueError("batched FHE PIE does not support a stash")
@@ -131,13 +154,11 @@ class BatchedFHEPIE:
         self.ctx = ctx
         self.rlk = rlk
         self.H = hct.n_cuckoo_hash_functions
-        if leveled is None:
-            leveled = (
-                ctx.default_form == "bgv"
-                and ctx.t < 2**31
-                and self.H > 1
-                and ctx.L - (self.H - 1) >= 2
+        if leveled:
+            assert ctx.default_form == "bgv" and ctx.t < 2**31, (
+                "leveled PIE requires BGV with t < 2^31"
             )
+            assert ctx.L - (self.H - 1) >= 2, "not enough limbs for the chain"
         self.leveled = leveled
         self.D = hct.max_items_per_position
         self.P = hct.each_cuckoo_table_size
@@ -195,6 +216,46 @@ class BatchedFHEPIE:
                 )
             )
         return self._run(index_cts, minus_ct)
+
+    def run_streamed(self, chunks, minus_ct: Ciphertext) -> Ciphertext:
+        """Compute/communication-overlapped online step.
+
+        chunks: iterable of (p0, idx_chunk) where idx_chunk is a
+        (H, w, 2, L, N) slice of the index ciphertexts starting at inner
+        position p0 (equal w across chunks). Each chunk's position sums are
+        dispatched asynchronously as it arrives, so the server computes on
+        chunk k while chunk k+1 is still on the wire -- the generalization
+        of the reference's receive-while-computing overlap
+        (/root/reference/src/Server/FHE/SimpleFHEPSIServer.cpp:128-153).
+        """
+        import jax
+
+        if not hasattr(self, "_stream_jits"):
+            use_kernel = jax.default_backend() == "tpu"
+
+            def partial(idx_chunk, p0):
+                w = idx_chunk.shape[1]
+                tbl = jax.lax.dynamic_slice_in_dim(self.table_pt, p0, w, axis=2)
+                return position_sum(self.ctx, idx_chunk, tbl, use_kernel=use_kernel)
+
+            def acc_fn(a, b):
+                return add_mod(a, b, self.ctx.p)
+
+            def finish(ip, minus_data):
+                return combine_ip(
+                    self.ctx, self.rlk, ip, minus_data, self.mask_pt,
+                    leveled=self.leveled,
+                )
+
+            self._stream_jits = (
+                jax.jit(partial), jax.jit(acc_fn), jax.jit(finish)
+            )
+        partial_f, acc_f, finish_f = self._stream_jits
+        ip = None
+        for p0, idx_chunk in chunks:
+            part = partial_f(jnp.asarray(idx_chunk), p0)  # async dispatch
+            ip = part if ip is None else acc_f(ip, part)
+        return finish_f(ip, minus_ct.data)
 
 
 @dataclass

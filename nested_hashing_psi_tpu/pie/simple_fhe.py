@@ -106,13 +106,16 @@ class SimpleFHEPIE:
         prod = mont_mul(
             idx[:, :, None], self.table_pt[:, :, :, None], ctx.p, ctx.pinv
         )  # (nPies, H, B, 2, L, N)
-        summed = ctx.eval_sum_all_slots(Ciphertext(prod), self.gks).data
+        summed = ctx.eval_sum_all_slots(
+            Ciphertext(prod, ctx.default_form), self.gks
+        ).data
         sel = mont_mul(summed, self.sel_pt[:, None], ctx.p, ctx.pinv)
         merged = modsum(sel, ctx.p, axis=2)  # (nPies, H, 2, L, N)
         masked = mont_mul(merged, self.mask_pt[:, :, None], ctx.p, ctx.pinv)
         perm = jnp.asarray(self.hf_perm)
         return Ciphertext(
-            jnp.take_along_axis(masked, perm[:, :, None, None, None], axis=1)
+            jnp.take_along_axis(masked, perm[:, :, None, None, None], axis=1),
+            ctx.default_form,
         )
 
 

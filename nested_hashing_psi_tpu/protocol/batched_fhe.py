@@ -36,6 +36,7 @@ from nested_hashing_psi_tpu.fhe.bgv import Ciphertext, RelinKey
 from nested_hashing_psi_tpu.fhe.params import (
     SchemeParams,
     default_num_limbs,
+    leveled_default,
     plaintext_modulus_for_bit_size,
 )
 from nested_hashing_psi_tpu.hashing import (
@@ -54,8 +55,9 @@ def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
     t = plaintext_modulus_for_bit_size(psi.bit_size)
     scheme = "bgv" if psi.bgv else "bfv"  # reference default is BFV
     # the BGV PIE runs leveled (one limb dropped per cross-hash mult) when
-    # t fits device mod-t arithmetic -- mirror BatchedFHEPIE's default
-    leveled = scheme == "bgv" and t < 2**31 and ht.n_cuckoo_hash_functions > 1
+    # t fits device mod-t arithmetic -- the server constructs its PIE with
+    # the same predicate
+    leveled = leveled_default(scheme, t, ht.n_cuckoo_hash_functions)
     limbs = psi.num_limbs or default_num_limbs(
         t.bit_length(),
         ht.n_cuckoo_hash_functions - 1,
@@ -125,9 +127,26 @@ class BatchedFHEPSIClient(PSIClientBase):
         self.idx_ct, self.minus_ct = self.client_ops.encrypt_query(self.sk)
         self.idx_ct.data.block_until_ready()  # offline phase owns this cost
 
+    def _effective_chunks(self) -> int:
+        """Largest divisor of the inner position count <= the requested
+        stream_chunks (equal-width chunks keep the server on one jit)."""
+        P = self.ht.each_cuckoo_table_size
+        n = max(1, min(self.params.stream_chunks, P))
+        while P % n:
+            n -= 1
+        return n
+
     def run_online_phase(self) -> None:
         self.channel.write_tensor(self.minus_ct.data)
-        self.channel.write_tensor(self.idx_ct.data)
+        n_chunks = self._effective_chunks()
+        self.channel.write_tensor(np.array([n_chunks], np.uint64))
+        if n_chunks == 1:
+            self.channel.write_tensor(self.idx_ct.data)
+        else:
+            P = self.ht.each_cuckoo_table_size
+            w = P // n_chunks
+            for c in range(n_chunks):
+                self.channel.write_tensor(self.idx_ct.data[:, c * w : (c + 1) * w])
         meta = self.channel.read_tensor()
         form = "bgv" if int(meta[0]) else "bfv"
         result = Ciphertext(
@@ -177,14 +196,35 @@ class BatchedFHEPSIServer(PSIServerBase):
     def run_offline_phase(self) -> None:
         begin = time.monotonic_ns()
         self.server_table.insert_all(self.server_set)
-        self.pie = BatchedFHEPIE(self.ctx, self.server_table, self.rlk)
+        self.pie = BatchedFHEPIE(
+            self.ctx,
+            self.server_table,
+            self.rlk,
+            leveled=leveled_default(
+                self.ctx.params.scheme, self.ctx.t, self.ht.n_cuckoo_hash_functions
+            ),
+        )
         self.offline_computation_us = (time.monotonic_ns() - begin) // 1000
 
     def run_online_phase(self) -> None:
         minus = Ciphertext(jnp.asarray(self.channel.read_tensor()))
-        idx = Ciphertext(jnp.asarray(self.channel.read_tensor()))
-        begin = time.monotonic_ns()
-        result = self.pie.run(idx, minus)
+        n_chunks = int(self.channel.read_tensor()[0])
+        if n_chunks == 1:
+            idx = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+            begin = time.monotonic_ns()
+            result = self.pie.run(idx, minus)
+        else:
+            begin = time.monotonic_ns()
+            # streamed path: position-sum each chunk as it arrives (async
+            # dispatch overlaps the next chunk's network read)
+            P = self.ht.each_cuckoo_table_size
+            w = P // n_chunks
+
+            def chunks():
+                for c in range(n_chunks):
+                    yield c * w, jnp.asarray(self.channel.read_tensor())
+
+            result = self.pie.run_streamed(chunks(), minus)
         result.data.block_until_ready()
         self.online_computation_us = (time.monotonic_ns() - begin) // 1000
         self.channel.write_tensor(

@@ -3,40 +3,79 @@
 The reference has no checkpoint/resume; its natural checkpoint structure is
 the offline products (nested table + packed plaintexts, SURVEY.md section 5).
 Here the server's expensive offline phase (2^24-item table build + batched
-encode) persists to an .npz and resumes straight into the online phase.
+encode) persists to an .npz -- including the scheme parameters and the
+relinearization key -- and a later process resumes straight into the online
+phase with no out-of-band state.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def save_batched_pie(path: str, pie) -> None:
-    """Persist a BatchedFHEPIE's offline products."""
+    """Persist a BatchedFHEPIE's offline products + scheme params + keys."""
+    sp = pie.ctx.params
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
         table_pt=np.asarray(pie.table_pt),
         mask_pt=np.asarray(pie.mask_pt),
-        dims=np.array([pie.H, pie.D, pie.P, pie.batch_slots], np.int64),
+        dims=np.array(
+            [pie.H, pie.D, pie.P, pie.batch_slots, int(pie.leveled)], np.int64
+        ),
+        scheme=np.array(
+            [
+                sp.ring_dim,
+                sp.plaintext_modulus,
+                sp.num_limbs,
+                1 if sp.scheme == "bgv" else 0,
+            ],
+            np.uint64,
+        ),
+        rlk_b=np.asarray(pie.rlk.b_mont),
+        rlk_a=np.asarray(pie.rlk.a_mont),
     )
 
 
-def load_batched_pie(path: str, ctx, rlk):
+def load_batched_pie(path: str, ctx=None, rlk=None):
     """Rebuild a runnable BatchedFHEPIE from a checkpoint (skips table build
-    and encoding entirely)."""
+    and encoding entirely). ctx/rlk default to the persisted scheme params
+    and relinearization key, so resume needs nothing but the file."""
     import jax.numpy as jnp
 
     from nested_hashing_psi_tpu.pie.batched_fhe import BatchedFHEPIE
 
     z = np.load(path)
     assert int(z["version"]) == FORMAT_VERSION
+    if ctx is None:
+        from nested_hashing_psi_tpu.fhe.bfv import make_context
+        from nested_hashing_psi_tpu.fhe.params import SchemeParams
+
+        ring, t, limbs, is_bgv = (int(v) for v in z["scheme"])
+        ctx = make_context(
+            SchemeParams(
+                ring_dim=ring,
+                plaintext_modulus=t,
+                num_limbs=limbs,
+                scheme="bgv" if is_bgv else "bfv",
+            ),
+            seed=None,
+        )
+    if rlk is None:
+        from nested_hashing_psi_tpu.fhe.bgv import RelinKey
+
+        rlk = RelinKey(
+            b_mont=jnp.asarray(z["rlk_b"]), a_mont=jnp.asarray(z["rlk_a"])
+        )
     pie = BatchedFHEPIE.__new__(BatchedFHEPIE)
     pie.ctx = ctx
     pie.rlk = rlk
-    pie.H, pie.D, pie.P, pie.batch_slots = (int(v) for v in z["dims"])
+    dims = [int(v) for v in z["dims"]]
+    pie.H, pie.D, pie.P, pie.batch_slots = dims[:4]
+    pie.leveled = bool(dims[4]) if len(dims) > 4 else False
     pie.table_pt = jnp.asarray(z["table_pt"])
     pie.mask_pt = jnp.asarray(z["mask_pt"])
     pie._run = None

@@ -91,10 +91,14 @@ def test_leveled_matches_flat(n_cuckoo_hf):
     assert noise < dctx.params.q.bit_length() - 10, f"leveled noise too high: {noise}"
 
 
-def test_leveled_default_enabled_for_bgv():
-    ctx, sk, rlk, hct, ops, idx_ct, minus_ct = _setup(2)
-    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=7)
-    assert pie.leveled is True  # BGV + t < 2^31 + H > 1 defaults to leveled
+def test_leveled_default_predicate():
+    from nested_hashing_psi_tpu.fhe.params import leveled_default
+
+    # the protocol enables leveling for BGV + device-sized t + H > 1
+    assert leveled_default("bgv", 65537, 2) is True
+    assert leveled_default("bfv", 65537, 2) is False  # HPS: additive noise
+    assert leveled_default("bgv", (1 << 32) + 1, 2) is False  # t too big
+    assert leveled_default("bgv", 65537, 1) is False  # no ct x ct mult
 
 
 def test_leveled_limb_budget_smaller_at_depth():

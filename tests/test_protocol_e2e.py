@@ -79,3 +79,23 @@ def test_batched_fhe_e2e_three_cuckoo_hfs():
         small_ht(n_cuckoo_hash_functions=3),
     )
     assert ok
+
+
+def test_batched_fhe_e2e_streamed_upload():
+    """stream_chunks > 1: chunked index upload with server-side overlapped
+    partial position sums must match the monolithic result."""
+    client, server, ok = run_in_process(
+        small_params(stream_chunks=4), small_ht()
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 5
+
+
+def test_batched_fhe_e2e_bgv_leveled():
+    """--bgv route runs the leveled PIE: the result ships with one fewer limb
+    per cross-hash mult and still verifies."""
+    client, server, ok = run_in_process(small_params(bgv=True), small_ht())
+    assert ok
+    assert len(client.intersection_calculated) == 5
+    # H=2 -> one mod switch -> result at L-1 limbs
+    assert server.pie.leveled is True
