@@ -198,4 +198,59 @@ int64_t cuckoo_insert_seq(const uint64_t* items, int64_t n_items,
     return failures;
 }
 
+// ---------------------------------------------------------------------------
+// Exact RNS phase -> message mod t (big-t decrypt path; __int128 CRT).
+//
+// Replaces the Python object-array fallback for t >= 2^33 (reference 40/48-bit
+// plaintext moduli, /root/reference/src/Client/FHE/SimpleFHEPSIClient.cpp:29-49).
+// phase: (rows, L, n) uint64 RNS residues (each < q_i < 2^31), row-major.
+// out: (rows, n) uint64 messages in [0, t). Returns the max fractional
+// rounding distance (in 2^-64 units scaled to [0, 0.5]) for noise estimates.
+//
+// BGV: x = sum_i y_i*(q/q_i) - k*q, y_i = [phase_i * (q/q_i)^-1]_{q_i},
+//      k = round(sum_i y_i/q_i);      m = [x]_t.
+// BFV: m = [round(t*x/q)]_t = [sum_i y_i*c_i + round(sum_i y_i*f_i)]_t with
+//      t/q_i = c_i + f_i (integer + fraction).
+// Fractions accumulate in 2^64 fixed point: per-term truncation error is
+// <= y_i * 2^-64 <= 2^-33, far below the rounding margin the noise budget
+// already guarantees.
+
+double phase_to_mt(const uint64_t* phase, int64_t rows, int64_t L, int64_t n,
+                   const uint64_t* q_primes, const uint64_t* inv_qhat,
+                   const uint64_t* int_coef, const uint64_t* frac_fp,
+                   uint64_t sub_coef, uint64_t t, int bfv, uint64_t* out) {
+    // inv_qhat[i] = (q/q_i)^-1 mod q_i
+    // BGV: int_coef[i] = (q/q_i) mod t, frac_fp[i] = floor(2^64 / q_i),
+    //      sub_coef = q mod t (multiplied by the rounded k and subtracted).
+    // BFV: int_coef[i] = floor(t / q_i), frac_fp[i] = floor(((t mod q_i)<<64)/q_i),
+    //      sub_coef unused (0).
+    uint64_t max_dist = 0;
+    for (int64_t r = 0; r < rows; r++) {
+        for (int64_t j = 0; j < n; j++) {
+            u128 acc_int = 0;   // mod-t accumulation
+            u128 acc_fp = 0;    // 2^64 fixed-point fraction accumulation
+            for (int64_t i = 0; i < L; i++) {
+                uint64_t ph = phase[(r * L + i) * n + j];
+                uint64_t y = (uint64_t)(((u128)ph * inv_qhat[i]) % q_primes[i]);
+                acc_int = (acc_int + (u128)y * int_coef[i]) % t;
+                acc_fp += (u128)y * frac_fp[i];
+            }
+            uint64_t k = (uint64_t)((acc_fp + ((u128)1 << 63)) >> 64);
+            uint64_t frac = (uint64_t)acc_fp;  // low 64 bits
+            uint64_t dist = frac > ((uint64_t)1 << 63) ? ~frac + 1 : frac;
+            if (dist > max_dist) max_dist = dist;
+            uint64_t m;
+            if (bfv) {
+                m = (uint64_t)((acc_int + k) % t);
+            } else {
+                uint64_t sub = (uint64_t)(((u128)(k % t) * (sub_coef % t)) % t);
+                uint64_t s = (uint64_t)acc_int;
+                m = s >= sub ? s - sub : (uint64_t)(s + t - sub);
+            }
+            out[r * n + j] = m;
+        }
+    }
+    return (double)max_dist / 18446744073709551616.0;  // / 2^64
+}
+
 }  // extern "C"

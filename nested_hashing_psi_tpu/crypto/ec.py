@@ -143,18 +143,68 @@ class EcGroup:
             return None
         return (A[0], (-A[1]) % self.p)
 
+    @staticmethod
+    def _jac_neg(P):
+        if P is None:
+            return None
+        return (P[0], -P[1], P[2])
+
+    @staticmethod
+    def _wnaf(k: int, w: int) -> list[int]:
+        """Width-w non-adjacent form, little-endian digits in
+        {0, +-1, +-3, ..., +-(2^(w-1)-1)}; at most 1 nonzero per w digits."""
+        out = []
+        while k:
+            if k & 1:
+                d = k & ((1 << w) - 1)
+                if d >= 1 << (w - 1):
+                    d -= 1 << w
+                k -= d
+                out.append(d)
+            else:
+                out.append(0)
+            k >>= 1
+        return out
+
+    def _odd_table(self, P_jac, w: int):
+        """[1P, 3P, 5P, ..., (2^(w-1)-1)P] in Jacobian coordinates."""
+        tbl = [P_jac]
+        twoP = self._jac_double(P_jac)
+        for _ in range(1, 1 << (w - 2)):
+            tbl.append(self._jac_add(tbl[-1], twoP))
+        return tbl
+
     def mul(self, A, k: int):
-        """Scalar multiplication k*A (k any integer; reduced mod order)."""
+        """Scalar multiplication k*A: width-5 wNAF (~n doubles + n/6 adds;
+        replaces the double-and-add of libscapi's exponentiate)."""
         k %= self.order
         if k == 0 or A is None:
             return None
-        P = self._to_jac(A)
+        tbl = self._odd_table(self._to_jac(A), 5)
+        return self._from_jac(self._wnaf_mul(tbl, k, 5))
+
+    def _wnaf_mul(self, odd_tbl, k: int, w: int):
         R = None
-        for bit in bin(k)[2:]:
+        for d in reversed(self._wnaf(k, w)):
             R = self._jac_double(R)
-            if bit == "1":
-                R = self._jac_add(R, P)
-        return self._from_jac(R)
+            if d > 0:
+                R = self._jac_add(R, odd_tbl[(d - 1) // 2])
+            elif d < 0:
+                R = self._jac_add(R, self._jac_neg(odd_tbl[(-d - 1) // 2]))
+        return R
+
+    def mul_many(self, A, scalars):
+        """[k*A for k in scalars] sharing one wNAF table for the base --
+        the repeated-base pattern of the Precomp offline phase (reference
+        exponentiateWithPreComputedValues, AddHomElGamalEnc.hpp usage)."""
+        if A is None:
+            return [None] * len(scalars)
+        tbl = self._odd_table(self._to_jac(A), 5)
+        out = []
+        for k in scalars:
+            k %= self.order
+            out.append(None if k == 0 else self._from_jac(self._wnaf_mul(tbl, k, 5)))
+        return out
 
     def _build_fixed_base_table(self, base):
         nwin = (self.order.bit_length() + 3) // 4
@@ -188,22 +238,26 @@ class EcGroup:
 
     def multi_mul(self, points, scalars):
         """Simultaneous multi-exponentiation: sum_i scalars[i]*points[i]
-        (interleaved binary; replaces libscapi
-        simultaneousMultipleExponentiations)."""
+        (interleaved width-4 wNAF: shared doubles, ~n/5 adds per point;
+        replaces libscapi simultaneousMultipleExponentiations)."""
+        w = 4
         pairs = [
-            (self._to_jac(P), s % self.order)
+            (self._odd_table(self._to_jac(P), w), self._wnaf(s % self.order, w))
             for P, s in zip(points, scalars)
             if P is not None and s % self.order != 0
         ]
         if not pairs:
             return None
-        nbits = max(s.bit_length() for _, s in pairs)
+        nbits = max(len(naf) for _, naf in pairs)
         R = None
         for bit in range(nbits - 1, -1, -1):
             R = self._jac_double(R)
-            for P, s in pairs:
-                if (s >> bit) & 1:
-                    R = self._jac_add(R, P)
+            for tbl, naf in pairs:
+                d = naf[bit] if bit < len(naf) else 0
+                if d > 0:
+                    R = self._jac_add(R, tbl[(d - 1) // 2])
+                elif d < 0:
+                    R = self._jac_add(R, self._jac_neg(tbl[(-d - 1) // 2]))
         return self._from_jac(R)
 
     # -- serialization ------------------------------------------------------

@@ -69,6 +69,19 @@ class AddHomElGamal:
         g = self.group
         return ElGamalCiphertext(g.mul(a.c1, k), g.mul(a.c2, k))
 
+    def mult_by_const_many(
+        self, a: ElGamalCiphertext, ks
+    ) -> list[ElGamalCiphertext]:
+        """[Enc(k*m) for k in ks] sharing one window table per component --
+        the repeated-base exponentiation of the Precomp offline phase
+        (reference exponentiateWithPreComputedValues)."""
+        g = self.group
+        if hasattr(g, "mul_many"):
+            c1s = g.mul_many(a.c1, ks)
+            c2s = g.mul_many(a.c2, ks)
+            return [ElGamalCiphertext(u, v) for u, v in zip(c1s, c2s)]
+        return [self.mult_by_const(a, k) for k in ks]
+
     def element_xor_by_const(self, a: ElGamalCiphertext, elem: int) -> ElGamalCiphertext:
         """Enc(b*elem) -> Enc((1-b)*elem) for b in {0,1}: negate and add
         g^elem (AddHomElGamalEnc.cpp:458-494)."""

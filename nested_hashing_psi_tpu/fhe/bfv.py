@@ -108,7 +108,22 @@ class BFVContext(BGVContext):
 
     def _phase_to_mt_bfv(self, phase: np.ndarray):
         """m = round(t/q * [phase]_q) mod t via the CRT float trick; exact
-        object fallback for large t."""
+        native __int128 kernel (utils.native.phase_to_mt) for large t, with
+        an exact object fallback."""
+        if self.t >= 1 << 33:
+            from nested_hashing_psi_tpu.utils import native
+
+            res = native.phase_to_mt(phase, self.q_primes, self.t, "bfv")
+            if res is not None:
+                m, dist = res
+                noise_bits = (
+                    np.log2(dist)
+                    + self.params.q.bit_length()
+                    - self.t.bit_length()
+                    if dist > 0
+                    else 0.0
+                )
+                return m, noise_bits
         y = (phase * self._crt_inv.reshape(-1, 1)) % np.array(
             self.q_primes, np.uint64
         ).reshape(-1, 1)

@@ -253,15 +253,18 @@ class BGVContext:
         return out
 
     def _ksk_gen_impl(self, sk: SecretKey, target_ntt, key) -> RelinKey:
-        """ksk[k] = (t*e_k - a_k*s + target*g_k, a_k) with the CRT gadget
-        g_k = 1 on limb k, 0 elsewhere; target in plain NTT form (L, N)."""
+        """ksk[k] = (noise*e_k - a_k*s + target*g_k, a_k) with the CRT gadget
+        g_k = 1 on limb k, 0 elsewhere; target in plain NTT form (L, N).
+        Noise scaling follows the scheme: t*e for BGV (killed mod t at
+        decrypt), plain e for BFV (message sits at Delta, t*e would burn
+        log2(t) bits of budget per key switch)."""
         L, n = self.L, self.n
         k_a, k_e = jax.random.split(key)
         a = self._uniform_rns(k_a, (L, L, n))
         e = self._gauss(k_e, (L, n))
         e_ntt = ntt(self._small_to_rns(e), self.plan)  # (L, L, n)
         b = sub_mod(
-            mont_mul(e_ntt, self.t_mont, self.p, self.pinv),
+            mont_mul(e_ntt, self.noise_mont, self.p, self.pinv),
             mont_mul(a, sk.s_mont, self.p, self.pinv),
             self.p,
         )
@@ -408,8 +411,19 @@ class BGVContext:
 
         x = sum_i y_i*(q/q_i) - k*q with y_i = [x_i * (q/q_i)^-1]_{q_i} and
         k = round(sum_i y_i/q_i); float64 rounding is safe while the noise
-        budget holds (|x| << q/2).
+        budget holds (|x| << q/2). Big t routes through the native __int128
+        CRT kernel (utils.native.phase_to_mt) when available.
         """
+        if self.t >= 1 << 33:
+            from nested_hashing_psi_tpu.utils import native
+
+            res = native.phase_to_mt(phase, self.q_primes, self.t, "bgv")
+            if res is not None:
+                m, dist = res
+                noise_bits = (
+                    np.log2(dist) + self.params.q.bit_length() if dist > 0 else 0.0
+                )
+                return m, noise_bits
         y = (phase * self._crt_inv.reshape(-1, 1)) % np.array(
             self.q_primes, np.uint64
         ).reshape(-1, 1)

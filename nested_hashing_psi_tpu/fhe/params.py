@@ -64,6 +64,7 @@ def default_num_limbs(
     sum_len: int,
     scheme: str = "bgv",
     leveled: bool = False,
+    eval_sum: bool = False,
 ) -> int:
     """Worst-case-ish noise budget -> number of 31-bit limbs.
 
@@ -89,6 +90,11 @@ def default_num_limbs(
 
     if scheme == "bfv":
         acc = ip
+        if eval_sum:
+            # EvalSum slot ladder (SimpleFHE PIE): the slot sum multiplies
+            # noise by ~n and adds ~logn gadget key switches (empirically
+            # ~LIMB_BITS + t_bits + 3*logn over the fresh ct x pt noise)
+            acc = max(acc, LIMB_BITS + t_bits + 3 * logn + fresh)
         for _ in range(mults):
             acc = acc + t_bits + logn + 2
         mask = acc + t_bits + logn

@@ -139,11 +139,14 @@ class PrecompElGamalPIE:
         for h in range(self.H):
             em = [[None] * self.positions for _ in range(self.bins)]
             nm = [[None] * self.positions for _ in range(self.bins)]
-            for b in range(self.bins):
-                for j in range(self.positions):
-                    item = self.table[self._tbl(h)][b][j]
-                    em[b][j] = self.enc.mult_by_const(self.index_matrix[h][j], item)
-                    nm[b][j] = self.enc.element_xor_by_const(em[b][j], item)
+            for j in range(self.positions):
+                # one window table per index ciphertext, amortized over all
+                # bin exponents (reference exponentiateWithPreComputedValues)
+                items = [self.table[self._tbl(h)][b][j] for b in range(self.bins)]
+                cts = self.enc.mult_by_const_many(self.index_matrix[h][j], items)
+                for b in range(self.bins):
+                    em[b][j] = cts[b]
+                    nm[b][j] = self.enc.element_xor_by_const(cts[b], items[b])
             self.enc_matrix.append(em)
             self.neg_matrix.append(nm)
 

@@ -42,10 +42,10 @@ PROTOCOL_NAME = "SimpleFHE"
 def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
     t = plaintext_modulus_for_bit_size(psi.bit_size)
     scheme = "bgv" if psi.bgv else "bfv"
-    # no ct x ct; +2 limbs of rotation key-switch slack
+    # no ct x ct; eval_sum models the rotation-ladder key-switch noise
     limbs = psi.num_limbs or default_num_limbs(
-        t.bit_length(), 0, ht.each_cuckoo_table_size + 1, scheme
-    ) + 2
+        t.bit_length(), 0, ht.each_cuckoo_table_size + 1, scheme, eval_sum=True
+    )
     sp = SchemeParams(
         ring_dim=psi.ring_dim, plaintext_modulus=t, num_limbs=limbs, scheme=scheme
     )

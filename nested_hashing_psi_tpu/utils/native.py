@@ -62,6 +62,21 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_uint64),
             ]
+            lib.phase_to_mt.restype = ctypes.c_double
+            lib.phase_to_mt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_uint64,
+                ctypes.c_uint64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
             _lib = lib
         except (OSError, subprocess.CalledProcessError):
             _lib = None
@@ -84,6 +99,56 @@ def ntt_mod_t(data: np.ndarray, t: int, psi: int, inverse: bool) -> np.ndarray |
     if rc != 0:
         return None
     return out
+
+
+def phase_to_mt(
+    phase: np.ndarray, q_primes: tuple[int, ...], t: int, scheme: str
+) -> tuple[np.ndarray, float] | None:
+    """Exact RNS phase -> message mod t via __int128 CRT (big-t decrypt,
+    reference 40/48-bit moduli). phase: (..., L, n) uint64 residues.
+    Returns ((..., n) uint64 messages, noise-fraction in [0, 0.5]) or None.
+    """
+    lib = get_lib()
+    if lib is None or t >= 1 << 63 or not hasattr(lib, "phase_to_mt"):
+        return None
+    L = len(q_primes)
+    q = 1
+    for p in q_primes:
+        q *= p
+    ph = np.ascontiguousarray(phase, dtype=np.uint64)
+    lead = ph.shape[:-2]
+    n = ph.shape[-1]
+    rows = int(np.prod(lead)) if lead else 1
+    qp = np.array(q_primes, dtype=np.uint64)
+    inv_qhat = np.array(
+        [pow(q // p, -1, p) for p in q_primes], dtype=np.uint64
+    )
+    if scheme == "bfv":
+        int_coef = np.array([t // p for p in q_primes], dtype=np.uint64)
+        frac_fp = np.array(
+            [((t % p) << 64) // p for p in q_primes], dtype=np.uint64
+        )
+        sub_coef = 0
+    else:
+        int_coef = np.array([(q // p) % t for p in q_primes], dtype=np.uint64)
+        frac_fp = np.array([(1 << 64) // p for p in q_primes], dtype=np.uint64)
+        sub_coef = q % t
+    out = np.zeros((rows, n), dtype=np.uint64)
+    dist = lib.phase_to_mt(
+        _u64ptr(ph.reshape(rows, L, n)),
+        rows,
+        L,
+        n,
+        _u64ptr(qp),
+        _u64ptr(inv_qhat),
+        _u64ptr(int_coef),
+        _u64ptr(frac_fp),
+        sub_coef,
+        t,
+        1 if scheme == "bfv" else 0,
+        _u64ptr(out),
+    )
+    return out.reshape(*lead, n), float(dist)
 
 
 def cuckoo_insert_seq(

@@ -74,7 +74,7 @@ def test_golden_fhe_pie_15000_items_ring16384():
     stored = hct.table[..., 0]
     assert (stored != 0).sum() == n_items  # all 15,000 inserted, no stash
 
-    limbs = default_num_limbs(T_33.bit_length(), 0, table_size)
+    limbs = default_num_limbs(T_33.bit_length(), 0, table_size, "bfv", eval_sum=True)
     ctx = make_context(
         SchemeParams(RING, T_33, num_limbs=limbs, scheme="bfv"), seed=11
     )
@@ -98,7 +98,9 @@ def test_golden_fhe_pie_15000_items_ring16384():
 
     result = pie.run(idx_ct)
     slots, noise = ctx.decrypt(result, sk, length=bin_size)
-    assert noise < ctx.params.q.bit_length() - 20, f"noise margin blown: {noise}"
+    assert noise < ctx.params.q.bit_length() - T_33.bit_length() - 2, (
+        f"noise margin blown: {noise}"
+    )
 
     zeros = np.array(
         [[int(v) == 0 for v in bins] for bins in np.asarray(slots).reshape(n_hf, -1)]
@@ -159,7 +161,9 @@ def test_golden_batched_fhe_pie_reference_geometry():
 
     result = pie.run(idx_ct, minus_ct)
     slots, noise = ctx.decrypt(result, sk, length=pie.batch_slots)
-    assert noise < ctx.params.q.bit_length() - 20, f"noise margin blown: {noise}"
+    assert noise < ctx.params.q.bit_length() - T_33.bit_length() - 2, (
+        f"noise margin blown: {noise}"
+    )
 
     zeros = np.array([[int(v) == 0 for v in row] for row in np.asarray(slots)])
     assert zeros.shape == (bin_size, 2)
