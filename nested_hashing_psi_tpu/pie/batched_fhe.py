@@ -15,10 +15,13 @@ TPU-first redesign of the reference's triple loop of EvalMult/EvalAdd calls:
  - the whole server table is one packed-plaintext tensor
    (H, D, P, L, N) built in a single batched encode (the reference's
    transpose at cpp:48-71 is fused into the hierarchical builder's layout),
- - the online computation is ONE jitted XLA program: a lax.scan over bin
-   depths whose body does the position-summed ct x pt products as fused
-   VPU modmuls + tree modsum, the cross-hash ct x ct + relinearization, and
-   the mask multiply,
+ - the online computation is ONE jitted XLA program, vectorized over bin
+   depths: the position-summed ct x pt products run as fused VPU modmuls +
+   tree modsum (or the Pallas streaming kernel, ops/pie_kernels.py), then
+   the cross-hash ct x ct + relinearization (optionally mod-switching one
+   limb per multiplication -- the leveled path) and the mask multiply,
+ - the streamed variant (run_streamed) accumulates position-slice partial
+   sums as index chunks arrive off the wire, overlapping receive/compute,
  - bin-depth shuffling (output hiding, cpp:25-35) becomes a vectorized
    depth-permutation of the dense table.
 """
