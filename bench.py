@@ -37,18 +37,32 @@ VMEM_BATCH = 16
 HBM_BATCH = 512  # 512 * 6 * 64 KiB = 192 MiB working set per direction
 
 
-def _rate(fn, x, unit_count, target_s=2.0):
+def _sync(y):
+    """True execution barrier. Through the sandbox's async TPU relay,
+    block_until_ready resolves when the op is ENQUEUED remotely, not when it
+    has executed (measured: it passes 30-600x over the HBM roofline on
+    192 MB working sets). Fetching one element to the host is the only
+    barrier that provably forces the whole dependency chain to run."""
     import jax
 
-    fn(x).block_until_ready()  # compile
+    return int(np.asarray(jax.device_get(y.ravel()[0])))
+
+
+def _rate(fn, x, unit_count, target_s=2.0, max_iters=2000):
+    """Chained timing: each iteration consumes the previous output, so every
+    transform is on the critical path; one host fetch at the end forces the
+    chain (round-1 bench overstated throughput because independent
+    same-input calls let the lazy relay skip dead work)."""
+    _sync(fn(x))  # compile
     t0 = time.perf_counter()
-    fn(x).block_until_ready()
+    _sync(fn(x))
     per = time.perf_counter() - t0
-    iters = max(3, int(target_s / max(per, 1e-5)))
+    iters = max(3, min(max_iters, int(target_s / max(per, 1e-5))))
+    y = x
     t0 = time.perf_counter()
     for _ in range(iters):
-        y = fn(x)
-    y.block_until_ready()
+        y = fn(y)
+    _sync(y)
     return unit_count * iters / (time.perf_counter() - t0)
 
 
@@ -98,17 +112,19 @@ def bench_pie_online():
 
     t0 = time.perf_counter()
     out = pie.run(idx_ct, minus_ct)
-    out.data.block_until_ready()
+    _sync(out.data)
     compile_s = time.perf_counter() - t0
+    # Host-fetch every iteration: successive runs share inputs, so without a
+    # true barrier the async relay elides repeats (see _sync).
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pie.run(idx_ct, minus_ct)
-    out.data.block_until_ready()
+        _sync(out.data)
     ms = (time.perf_counter() - t0) / iters * 1e3
 
     counts = batched_pie_op_counts(H, D, P, ctx.L, ctx.n)
-    modmuls = counts.get("modmul", 0.0)
+    modmuls = counts["ct_pt_modmuls"] + counts["approx_ntt_modmuls"]
     return {
         "config": "server=2^20 client=2048 (Parameters1.txt row 12)",
         "H": H,

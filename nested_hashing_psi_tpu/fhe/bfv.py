@@ -18,11 +18,14 @@ Shares the whole RNS/NTT machinery with BGVContext; the differences:
  - ct_ct_mul_bridge keeps the exact t-scaling bridge as an alternative:
    multiplying a BFV ciphertext by t turns its phase into t*e' - r*m
    (r = q mod t) -- a *BGV-form* ciphertext whose message is -r*m. The
-   product is then a plain BGV tensor product + relinearization, with the
-   known scalar (-r)^2 tracked in Ciphertext.scale and divided out at
-   decryption. Exact (no rounding), two scalar multiplications, but
-   ~2*log2(t) bits of extra noise per multiplication. Mixed-form operands
-   (a BFV ct times a BGV ct) also route through the bridge.
+   product is a plain BGV tensor product; relinearization then Delta-LIFTS
+   the degree-2 result back to BFV form (every component times Delta, exact)
+   before key switching, because this context's keys carry plain noise that
+   a BGV-form phase would expose mod t. The known scalar (-r)^2 stays
+   tracked in Ciphertext.scale and is divided out at decryption. Exact (no
+   rounding), three scalar multiplications, ~2*log2(t) bits of extra noise
+   per multiplication. Mixed-form operands (a BFV ct times a BGV ct) also
+   route through the bridge.
  - ct x pt and additions are identical (plaintext operand is never
    Delta-scaled, matching EvalMult(ct, pt) semantics).
 """
@@ -95,6 +98,23 @@ class BFVContext(BGVContext):
         y = mc.scale_round(intt(d_q, self.plan), intt(d_aux, plan_aux))
         out = ntt(mc.exact_to_q(y), self.plan)
         return Ciphertext(out, "bfv", a.scale * b.scale % self.t)
+
+    def _relinearize_impl(self, ct: Ciphertext, rlk) -> Ciphertext:
+        """BGV-form products (the t-scaling bridge) must be Delta-lifted to
+        BFV form BEFORE key switching: this context's keys carry plain (not
+        t-scaled) noise, which would land directly in the mod-t message of a
+        BGV-form phase. Multiplying every component by Delta moves the
+        message to the MSB (phase Delta*m - r_t*e, since Delta*t = q - r_t),
+        where additive key-switch noise is absorbed by the rounding decrypt.
+        Exact (no rounding); costs ~log2(t) noise bits, already part of the
+        bridge's documented noise budget."""
+        if ct.form == "bgv":
+            ct = Ciphertext(
+                mont_mul(ct.data, self.delta_mont, self.p, self.pinv),
+                "bfv",
+                ct.scale,
+            )
+        return super()._relinearize_impl(ct, rlk)
 
     def _to_mul_form(self, ct: Ciphertext) -> Ciphertext:
         """BFV-form -> BGV-form: multiply by t; message becomes -r_t * m."""

@@ -63,7 +63,9 @@ def test_bfv_ct_ct_mul_mixed_form_via_bridge():
     cb = ctx.encrypt_sk(ctx.make_plaintext_rns(b), sk)
     assert ca.form == "bgv" and cb.form == "bfv"
     prod = ctx.ct_ct_mul_relin(ca, cb, rlk)
-    assert prod.form == "bgv" and prod.scale != 1
+    # relinearization Delta-lifts bridge products back to BFV form (the
+    # context's plain-noise keys would corrupt a BGV-form phase mod t)
+    assert prod.form == "bfv" and prod.scale != 1
     slots, noise = ctx.decrypt(prod, sk)
     np.testing.assert_array_equal(
         np.asarray(slots, np.int64), (a.astype(object) * b) % 65537
@@ -174,7 +176,8 @@ def test_bfv_bridge_still_available():
     ca = ctx.encrypt_sk(ctx.make_plaintext_rns(a), sk)
     cb = ctx.encrypt_sk(ctx.make_plaintext_rns(b), sk)
     prod = ctx.relinearize(ctx.ct_ct_mul_bridge(ca, cb), rlk)
-    assert prod.form == "bgv" and prod.scale != 1
+    # pre-relin the product is BGV-form; relinearization Delta-lifts it
+    assert prod.form == "bfv" and prod.scale != 1
     slots, _ = ctx.decrypt(prod, sk)
     np.testing.assert_array_equal(
         np.asarray([int(v) for v in slots]),
