@@ -56,6 +56,25 @@ def mont_mul(a, b, p, pinv):
     return jnp.where(t >= p, t - p, t)
 
 
+def shoup_mul(x, w, wq, p):
+    """x*w mod p with Shoup's precomputed quotient wq = floor(w * 2**32 / p).
+
+    The NTT twiddle fast path: when one operand is a compile-time constant,
+    this costs one mulhi + two low multiplies (~19 VPU ops) vs Montgomery's
+    two mulhi (~29). Valid for ANY x < 2**32 and w < p < 2**31; output < p.
+    (q = mulhi(x, wq) underestimates floor(x*w/p) by at most 1, so the
+    wrapped remainder r = x*w - q*p lies in [0, 2p).)
+    """
+    q = mulhi_u32(x, wq)
+    r = x * w - q * p  # wraps mod 2**32; exact because r < 2p < 2**32
+    return jnp.where(r >= p, r - p, r)
+
+
+def shoup_host(w: int, p: int) -> int:
+    """Host-side Shoup companion of constant w for prime p."""
+    return (w << 32) // p
+
+
 def add_mod(a, b, p):
     s = a + b  # both < p < 2**31: no wrap
     return jnp.where(s >= p, s - p, s)

@@ -19,11 +19,18 @@ therefore bit-exact with ``ops.ntt``'s canonical bit-reversed order):
        Gentleman-Sande decimation-in-frequency, natural -> bit-reversed,
        executed down the sublane axis after an on-chip transpose
 
-Each butterfly stage is a roll-based full-tile update (one mont_mul + two
-sublane rolls + select) -- no minor-dim reshapes, so Mosaic never relayouts.
-Per-stage twiddles are precomputed as per-ROW vectors (m, 1): the CT stage's
-twiddle depends only on the group index (row // 2t), the GS stage's only on
-the within-group offset (row mod h), so both broadcast along lanes.
+Each butterfly stage is a roll-based full-tile update (one twiddle multiply
++ two sublane rolls + select) -- no minor-dim reshapes, so Mosaic never
+relayouts. Per-stage twiddles are precomputed as per-ROW vectors (m, 1): the
+CT stage's twiddle depends only on the group index (row // 2t), the GS
+stage's only on the within-group offset (row mod h), so both broadcast
+along lanes.
+
+Twiddle multiplies use SHOUP precomputation (modmath.shoup_mul): every
+multiplicand here is a host-precomputed constant, so each table carries a
+(value, floor(value*2^32/p)) pair and the butterfly pays one mulhi + two
+low multiplies (~19 VPU ops) instead of Montgomery's two mulhi (~29) --
+the standard NTT fast path (cf. NTL/SEAL), ~25% fewer ops per butterfly.
 """
 
 from __future__ import annotations
@@ -40,10 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 from nested_hashing_psi_tpu.ops import primes as primes_mod
 from nested_hashing_psi_tpu.ops.modmath import (
     add_mod,
-    mont_constants,
-    mont_mul,
+    shoup_host,
+    shoup_mul,
     sub_mod,
-    to_mont_host,
 )
 from nested_hashing_psi_tpu.ops.ntt import bit_reverse_indices
 
@@ -66,13 +72,13 @@ def _pow_table(base: int, count: int, p: int) -> list[int]:
 class SplitNTTPlan:
     """Host-precomputed per-stage row-twiddle tables for the split NTT.
 
-    Tables (numpy uint32, Montgomery form):
-      s1  (L, log_m1, m1, 1)  CT stage k: row r -> phi^rev-table[m + r//(2t)]
-      s2  (L, log_m2, m2, 1)  GS stage k: row r -> w^((m2/t) * (r mod h))
-      tw  (L, m1, m2)         psi^k2 * omega^(rev_m1(a) * k2)
-      is1 (L, log_m1, m1, 1)  inverse of s1 stage tables (GS replay)
-      is2 (L, log_m2, m2, 1)  inverse of s2 stage tables (CT replay)
-      itw (L, m1, m2)         inverse twiddle * m1^-1 * m2^-1 (all scaling)
+    Tables (numpy uint32); axis 1 packs the Shoup pair [value, quotient]:
+      s1  (L, 2, log_m1, m1, 1)  CT stage k: row r -> phi^rev[m + r//(2t)]
+      s2  (L, 2, log_m2, m2, 1)  GS stage k: row r -> w^((m2/t) * (r mod h))
+      tw  (L, 2, m1, m2)         psi^k2 * omega^(rev_m1(a) * k2)
+      is1 (L, 2, log_m1, m1, 1)  inverse of s1 stage tables (GS replay)
+      is2 (L, 2, log_m2, m2, 1)  inverse of s2 stage tables (CT replay)
+      itw (L, 2, m1, m2)         inverse twiddle * m1^-1 * m2^-1 (scaling)
     """
 
     n: int
@@ -90,14 +96,17 @@ class SplitNTTPlan:
         log1, log2_ = _log2(m1), _log2(m2)
         rev1 = bit_reverse_indices(m1)
 
-        s1 = np.zeros((L, log1, m1, 1), np.uint32)
-        s2 = np.zeros((L, log2_, m2, 1), np.uint32)
-        tw = np.zeros((L, m1, m2), np.uint32)
-        is1 = np.zeros((L, log1, m1, 1), np.uint32)
-        is2 = np.zeros((L, log2_, m2, 1), np.uint32)
-        itw = np.zeros((L, m1, m2), np.uint32)
+        s1 = np.zeros((L, 2, log1, m1, 1), np.uint32)
+        s2 = np.zeros((L, 2, log2_, m2, 1), np.uint32)
+        tw = np.zeros((L, 2, m1, m2), np.uint32)
+        is1 = np.zeros((L, 2, log1, m1, 1), np.uint32)
+        is2 = np.zeros((L, 2, log2_, m2, 1), np.uint32)
+        itw = np.zeros((L, 2, m1, m2), np.uint32)
         p_arr = np.zeros((L, 1), np.uint32)
-        pinv_arr = np.zeros((L, 1), np.uint32)
+
+        def pair(dst, idx, val, p):
+            dst[(idx[0], 0) + idx[1:]] = val
+            dst[(idx[0], 1) + idx[1:]] = shoup_host(val, p)
 
         for l, p in enumerate(self.primes):
             psi = primes_mod.primitive_root_of_unity(p, 2 * n)
@@ -118,9 +127,9 @@ class SplitNTTPlan:
                 t = m1 >> (k + 1)
                 for r in range(m1):
                     g = r // (2 * t)
-                    s1[l, k, r, 0] = to_mont_host(t1_full[m + g], p)
+                    pair(s1, (l, k, r, 0), t1_full[m + g], p)
                     # inverse replays stages reversed as GS with s^-1
-                    is1[l, k, r, 0] = to_mont_host(it1_full[m + g], p)
+                    pair(is1, (l, k, r, 0), it1_full[m + g], p)
 
             # stage-2 GS (cyclic, natural -> bitrev): stage k has block size
             # t = m2 >> k, half h = t//2; twiddle w^((m2/t) * (r mod h)).
@@ -130,8 +139,8 @@ class SplitNTTPlan:
                 stride = m2 // t
                 for r in range(m2):
                     j = r % h
-                    s2[l, k, r, 0] = to_mont_host(pow(w, stride * j, p), p)
-                    is2[l, k, r, 0] = to_mont_host(pow(w_inv, stride * j, p), p)
+                    pair(s2, (l, k, r, 0), pow(w, stride * j, p), p)
+                    pair(is2, (l, k, r, 0), pow(w_inv, stride * j, p), p)
 
             inv_m = pow(m1 * m2, -1, p)
             psi_inv = pow(psi, -1, p)
@@ -139,23 +148,26 @@ class SplitNTTPlan:
             for a in range(m1):
                 ja = int(rev1[a])
                 for k2 in range(m2):
-                    tw[l, a, k2] = to_mont_host(
-                        pow(psi, k2, p) * pow(omega, ja * k2, p) % p, p
+                    pair(
+                        tw,
+                        (l, a, k2),
+                        pow(psi, k2, p) * pow(omega, ja * k2, p) % p,
+                        p,
                     )
-                    itw[l, a, k2] = to_mont_host(
+                    pair(
+                        itw,
+                        (l, a, k2),
                         pow(psi_inv, k2, p)
                         * pow(omega_inv, ja * k2, p)
                         * inv_m
                         % p,
                         p,
                     )
-            pinv, _ = mont_constants(p)
             p_arr[l, 0] = p
-            pinv_arr[l, 0] = pinv
 
         self.s1, self.s2, self.tw = s1, s2, tw
         self.is1, self.is2, self.itw = is1, is2, itw
-        self.p_arr, self.pinv_arr = p_arr, pinv_arr
+        self.p_arr = p_arr
         self.log1, self.log2 = log1, log2_
 
     @property
@@ -189,91 +201,107 @@ def _v_twiddle(s_row, M: int, t: int):
     return sv[..., 1, :, :]
 
 
-def _ct_stage_roll(X, s_row, t: int, p, pinv):
-    W = mont_mul(X, s_row, p, pinv)
+def _bcast_p(p, ndim_extra: int = 1):
+    return p[..., None, :, :] if hasattr(p, "ndim") and p.ndim > 1 else p
+
+
+def _ct_stage_roll(X, sw, sq, t: int, p):
+    W = shoup_mul(X, sw, sq, p)
     W_up = jnp.roll(W, -t, axis=-2)
     X_dn = jnp.roll(X, t, axis=-2)
     is_u = _rows_mask(X.shape[-2], t, X.ndim)
     return jnp.where(is_u, add_mod(X, W_up, p), sub_mod(X_dn, W, p))
 
 
-def _gs_stage_roll(X, s_row, h: int, p, pinv):
+def _gs_stage_roll(X, sw, sq, h: int, p):
     X_up = jnp.roll(X, -h, axis=-2)
     X_dn = jnp.roll(X, h, axis=-2)
     is_u = _rows_mask(X.shape[-2], h, X.ndim)
     return jnp.where(
         is_u,
         add_mod(X, X_up, p),
-        mont_mul(sub_mod(X_dn, X, p), s_row, p, pinv),
+        shoup_mul(sub_mod(X_dn, X, p), sw, sq, p),
     )
 
 
-def _ct_stage_split(X, s_row, t: int, p, pinv):
+def _ct_stage_split(X, sw, sq, t: int, p):
     *lead, M, lanes = X.shape
     g = M // (2 * t)
     Xr = X.reshape(*lead, g, 2, t, lanes)
     u, v = Xr[..., 0, :, :], Xr[..., 1, :, :]
-    pb = p[..., None, :, :] if hasattr(p, "ndim") and p.ndim > 1 else p
-    pinvb = pinv[..., None, :, :] if hasattr(pinv, "ndim") and pinv.ndim > 1 else pinv
-    w = mont_mul(v, _v_twiddle(s_row, M, t), pb, pinvb)
+    pb = _bcast_p(p)
+    w = shoup_mul(v, _v_twiddle(sw, M, t), _v_twiddle(sq, M, t), pb)
     out = jnp.stack([add_mod(u, w, pb), sub_mod(u, w, pb)], axis=-3)
     return out.reshape(*lead, M, lanes)
 
 
-def _gs_stage_split(X, s_row, h: int, p, pinv):
+def _gs_stage_split(X, sw, sq, h: int, p):
     *lead, M, lanes = X.shape
     g = M // (2 * h)
     Xr = X.reshape(*lead, g, 2, h, lanes)
     u, v = Xr[..., 0, :, :], Xr[..., 1, :, :]
-    pb = p[..., None, :, :] if hasattr(p, "ndim") and p.ndim > 1 else p
-    pinvb = pinv[..., None, :, :] if hasattr(pinv, "ndim") and pinv.ndim > 1 else pinv
+    pb = _bcast_p(p)
     out = jnp.stack(
         [
             add_mod(u, v, pb),
-            mont_mul(sub_mod(u, v, pb), _v_twiddle(s_row, M, h), pb, pinvb),
+            shoup_mul(
+                sub_mod(u, v, pb),
+                _v_twiddle(sw, M, h),
+                _v_twiddle(sq, M, h),
+                pb,
+            ),
         ],
         axis=-3,
     )
     return out.reshape(*lead, M, lanes)
 
 
-def ct_stage(X, s_row, t: int, p, pinv):
+def ct_stage(X, sw, sq, t: int, p):
     """u' = u + s*v ; v' = u - s*v with pair distance t down axis -2."""
     if t >= SPLIT_MIN_T:
-        return _ct_stage_split(X, s_row, t, p, pinv)
-    return _ct_stage_roll(X, s_row, t, p, pinv)
+        return _ct_stage_split(X, sw, sq, t, p)
+    return _ct_stage_roll(X, sw, sq, t, p)
 
 
-def gs_stage(X, s_row, h: int, p, pinv):
+def gs_stage(X, sw, sq, h: int, p):
     """u' = u + v ; v' = (u - v) * s with pair distance h down axis -2."""
     if h >= SPLIT_MIN_T:
-        return _gs_stage_split(X, s_row, h, p, pinv)
-    return _gs_stage_roll(X, s_row, h, p, pinv)
+        return _gs_stage_split(X, sw, sq, h, p)
+    return _gs_stage_roll(X, sw, sq, h, p)
 
 
-def _fwd_stages(X, s1, s2, tw, p, pinv, m1: int, m2: int):
+def _fwd_stages(X, s1, s2, tw, p, m1: int, m2: int):
     """X: (..., m1, m2) -> canonical bit-reversed NTT, still (..., m1, m2).
 
-    s1: (..., log1, m1, 1), s2: (..., log2, m2, 1), tw: (..., m1, m2).
+    Tables carry the Shoup pair on axis -4/-3 (see SplitNTTPlan):
+    s1: (..., 2, log1, m1, 1), s2: (..., 2, log2, m2, 1), tw: (..., 2, m1, m2).
     """
     for k in range(_log2(m1)):
-        X = ct_stage(X, s1[..., k, :, :], m1 >> (k + 1), p, pinv)
-    X = mont_mul(X, tw, p, pinv)
+        X = ct_stage(
+            X, s1[..., 0, k, :, :], s1[..., 1, k, :, :], m1 >> (k + 1), p
+        )
+    X = shoup_mul(X, tw[..., 0, :, :], tw[..., 1, :, :], p)
     X = jnp.swapaxes(X, -1, -2)          # (..., m2, m1)
     for k in range(_log2(m2)):
-        X = gs_stage(X, s2[..., k, :, :], m2 >> (k + 1), p, pinv)
+        X = gs_stage(
+            X, s2[..., 0, k, :, :], s2[..., 1, k, :, :], m2 >> (k + 1), p
+        )
     return jnp.swapaxes(X, -1, -2)       # (..., m1, m2) = (a, b)
 
 
-def _inv_stages(X, is1, is2, itw, p, pinv, m1: int, m2: int):
+def _inv_stages(X, is1, is2, itw, p, m1: int, m2: int):
     """Inverse of _fwd_stages (bit-reversed in -> natural out)."""
     X = jnp.swapaxes(X, -1, -2)          # (..., m2, m1)
     for k in reversed(range(_log2(m2))):
-        X = ct_stage(X, is2[..., k, :, :], m2 >> (k + 1), p, pinv)
+        X = ct_stage(
+            X, is2[..., 0, k, :, :], is2[..., 1, k, :, :], m2 >> (k + 1), p
+        )
     X = jnp.swapaxes(X, -1, -2)
-    X = mont_mul(X, itw, p, pinv)        # includes 1/(m1*m2)
+    X = shoup_mul(X, itw[..., 0, :, :], itw[..., 1, :, :], p)  # incl. 1/(m1*m2)
     for k in reversed(range(_log2(m1))):
-        X = gs_stage(X, is1[..., k, :, :], m1 >> (k + 1), p, pinv)
+        X = gs_stage(
+            X, is1[..., 0, k, :, :], is1[..., 1, k, :, :], m1 >> (k + 1), p
+        )
     return X
 
 
@@ -287,16 +315,15 @@ def _split_call(x, plan: SplitNTTPlan, inverse: bool):
     assert x.shape[-2:] == (L, n), (x.shape, L, n)
     X = x.reshape(*bshape, L, m1, m2)
     p = jnp.asarray(plan.p_arr)[:, :, None]        # (L, 1, 1)
-    pinv = jnp.asarray(plan.pinv_arr)[:, :, None]
     if inverse:
         out = _inv_stages(
             X, jnp.asarray(plan.is1), jnp.asarray(plan.is2),
-            jnp.asarray(plan.itw), p, pinv, m1, m2,
+            jnp.asarray(plan.itw), p, m1, m2,
         )
     else:
         out = _fwd_stages(
             X, jnp.asarray(plan.s1), jnp.asarray(plan.s2),
-            jnp.asarray(plan.tw), p, pinv, m1, m2,
+            jnp.asarray(plan.tw), p, m1, m2,
         )
     return out.reshape(*bshape, L, n)
 
@@ -317,18 +344,17 @@ def intt_split(x, plan: SplitNTTPlan):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(m1: int, m2: int, inverse: bool):
-    def kernel(p_ref, pinv_ref, x_ref, sa_ref, sb_ref, tw_ref, out_ref):
+    def kernel(p_ref, x_ref, sa_ref, sb_ref, tw_ref, out_ref):
         l = pl.program_id(0)
         p = p_ref[l, 0]
-        pinv = pinv_ref[l, 0]
         X = x_ref[:, 0]                      # (TB, m1, m2)
-        sa = sa_ref[0]                       # (log1, m1, 1)
-        sb = sb_ref[0]                       # (log2, m2, 1)
-        tw = tw_ref[0]                       # (m1, m2)
+        sa = sa_ref[0]                       # (2, log1, m1, 1)
+        sb = sb_ref[0]                       # (2, log2, m2, 1)
+        tw = tw_ref[0]                       # (2, m1, m2)
         if inverse:
-            out = _inv_stages(X, sa, sb, tw, p, pinv, m1, m2)
+            out = _inv_stages(X, sa, sb, tw, p, m1, m2)
         else:
-            out = _fwd_stages(X, sa, sb, tw, p, pinv, m1, m2)
+            out = _fwd_stages(X, sa, sb, tw, p, m1, m2)
         out_ref[:, 0] = out
 
     return kernel
@@ -357,22 +383,20 @@ def _pallas_call(x, plan: SplitNTTPlan, inverse: bool, tile_b: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_b, 1, m1, m2), lambda l, b: (b, l, 0, 0)),
             pl.BlockSpec(
-                (1, sa.shape[1], m1, 1), lambda l, b: (l, 0, 0, 0)
+                (1, 2, sa.shape[2], m1, 1), lambda l, b: (l, 0, 0, 0, 0)
             ),
             pl.BlockSpec(
-                (1, sb.shape[1], m2, 1), lambda l, b: (l, 0, 0, 0)
+                (1, 2, sb.shape[2], m2, 1), lambda l, b: (l, 0, 0, 0, 0)
             ),
-            pl.BlockSpec((1, m1, m2), lambda l, b: (l, 0, 0)),
+            pl.BlockSpec((1, 2, m1, m2), lambda l, b: (l, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((tile_b, 1, m1, m2), lambda l, b: (b, l, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, L, m1, m2), jnp.uint32),
         interpret=interpret,
     )(
         jnp.asarray(plan.p_arr),
-        jnp.asarray(plan.pinv_arr),
         xb,
         jnp.asarray(sa),
         jnp.asarray(sb),

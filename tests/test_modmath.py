@@ -93,3 +93,24 @@ def test_primitive_root():
     w = primes.primitive_root_of_unity(p, 32768)
     assert pow(w, 32768, p) == 1
     assert pow(w, 16384, p) == p - 1  # psi^n = -1: negacyclic
+
+
+def test_shoup_mul_matches_bigint():
+    """shoup_mul(x, w, wq, p) == x*w mod p for any x < 2**32 (lazy bound),
+    w < p -- the NTT twiddle fast path."""
+    rng = np.random.default_rng(11)
+    for p in primes.ntt_primes(3, 31, 2**10):
+        w = rng.integers(0, p, size=256, dtype=np.uint64)
+        wq = np.array([modmath.shoup_host(int(v), p) for v in w], np.uint64)
+        # full uint32 range for x, plus edge cases
+        x = rng.integers(0, 1 << 32, size=256, dtype=np.uint64)
+        x[:4] = [0, 1, (1 << 32) - 1, p]
+        got = modmath.shoup_mul(
+            jnp.asarray(x, jnp.uint32),
+            jnp.asarray(w, jnp.uint32),
+            jnp.asarray(wq, jnp.uint32),
+            jnp.uint32(p),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got, np.uint64), (x * w) % p
+        )
