@@ -98,6 +98,7 @@ def bench_ntt():
 def bench_pie_online():
     """Full batched-PIE online step at the Parameters1.txt 2^20 x 2048 row."""
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _build_small_pie
     from nested_hashing_psi_tpu.fhe.params import default_num_limbs
@@ -115,13 +116,38 @@ def bench_pie_online():
     _sync(out.data)
     compile_s = time.perf_counter() - t0
     # Host-fetch every iteration: successive runs share inputs, so without a
-    # true barrier the async relay elides repeats (see _sync).
+    # true barrier the async relay elides repeats (see _sync). This number
+    # therefore includes one relay round-trip per query (an honest
+    # client-visible latency in this sandbox).
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pie.run(idx_ct, minus_ct)
         _sync(out.data)
     ms = (time.perf_counter() - t0) / iters * 1e3
+
+    # Steady-state device throughput: chain iterations through an
+    # optimization_barrier token (one output element feeds the next query's
+    # barrier), so the device executes back-to-back with ONE final host
+    # fetch -- no relay round-trip per query, no elision possible.
+    from nested_hashing_psi_tpu.pie.batched_fhe import batched_pie_forward
+
+    def step_impl(idx_data, minus_data, token):
+        m2, _ = jax.lax.optimization_barrier((minus_data, token))
+        return batched_pie_forward(
+            ctx, rlk, idx_data, m2, pie.table_pt, pie.mask_pt,
+            use_kernel=jax.default_backend() == "tpu",
+        ).data
+
+    step = jax.jit(step_impl)
+    o = step(idx_ct.data, minus_ct.data, jnp.uint32(0))
+    _sync(o)
+    chain_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(chain_iters):
+        o = step(idx_ct.data, minus_ct.data, o[0, 0, 0, 0])
+    _sync(o)
+    steady_ms = (time.perf_counter() - t0) / chain_iters * 1e3
 
     counts = batched_pie_op_counts(H, D, P, ctx.L, ctx.n)
     modmuls = counts["ct_pt_modmuls"] + counts["approx_ntt_modmuls"]
@@ -133,8 +159,9 @@ def bench_pie_online():
         "limbs": ctx.L,
         "batch_slots": 2 * simple,
         "ms_per_query": round(ms, 2),
-        "depth_rows_per_sec": round(D / (ms / 1e3), 1),
-        "modmul_gops": round(modmuls / (ms / 1e3) / 1e9, 2),
+        "ms_per_query_steady": round(steady_ms, 2),
+        "depth_rows_per_sec": round(D / (steady_ms / 1e3), 1),
+        "modmul_gops": round(modmuls / (steady_ms / 1e3) / 1e9, 2),
         "compile_s": round(compile_s, 1),
     }
 

@@ -9,8 +9,9 @@ Design:
    Gentleman-Sande (inverse, bit-reversed -> natural) butterflies; the 2n-th
    root psi is folded into the twiddle tables so x^n + 1 reduction is free.
  - Data layout (..., L, n): L RNS limbs each with its own prime; twiddle
-   tables are (L, n) uint32 in Montgomery form so each butterfly is one
-   ``mont_mul`` + add/sub on the VPU.
+   tables are (L, n) uint32 pairs (value, Shoup quotient) so each butterfly
+   is one ``shoup_mul`` (one mulhi + two low multiplies, ~25% fewer VPU ops
+   than Montgomery) + add/sub on the VPU.
  - log2(n) stages are unrolled at trace time (static shapes); XLA fuses each
    stage into a couple of elementwise kernels. The fused Pallas kernel that
    keeps a tile of residue polynomials VMEM-resident across all stages (one
@@ -33,9 +34,9 @@ from nested_hashing_psi_tpu.ops import primes as primes_mod
 from nested_hashing_psi_tpu.ops.modmath import (
     add_mod,
     mont_constants,
-    mont_mul,
+    shoup_host,
+    shoup_mul,
     sub_mod,
-    to_mont_host,
 )
 
 
@@ -57,10 +58,11 @@ class NTTPlan:
 
     n: int
     primes: tuple[int, ...]
-    # host tables (numpy)
-    psi_rev: np.ndarray = field(init=False)       # (L, n) Montgomery form
-    psi_inv_rev: np.ndarray = field(init=False)   # (L, n) Montgomery form
-    n_inv_mont: np.ndarray = field(init=False)    # (L, 1) n^-1 * R mod p
+    # host tables (numpy); twiddles are (L, 2, n) with axis 1 packing the
+    # Shoup pair [value, floor(value * 2^32 / p)]
+    psi_rev: np.ndarray = field(init=False)       # (L, 2, n)
+    psi_inv_rev: np.ndarray = field(init=False)   # (L, 2, n)
+    n_inv: np.ndarray = field(init=False)         # (L, 2, 1) n^-1 Shoup pair
     p_arr: np.ndarray = field(init=False)         # (L, 1)
     pinv_arr: np.ndarray = field(init=False)      # (L, 1)
     r2_arr: np.ndarray = field(init=False)        # (L, 1)
@@ -70,9 +72,9 @@ class NTTPlan:
         assert n & (n - 1) == 0
         L = len(ps)
         rev = bit_reverse_indices(n)
-        psi_rev = np.zeros((L, n), dtype=np.uint32)
-        psi_inv_rev = np.zeros((L, n), dtype=np.uint32)
-        n_inv = np.zeros((L, 1), dtype=np.uint32)
+        psi_rev = np.zeros((L, 2, n), dtype=np.uint32)
+        psi_inv_rev = np.zeros((L, 2, n), dtype=np.uint32)
+        n_inv = np.zeros((L, 2, 1), dtype=np.uint32)
         p_arr = np.zeros((L, 1), dtype=np.uint32)
         pinv_arr = np.zeros((L, 1), dtype=np.uint32)
         r2_arr = np.zeros((L, 1), dtype=np.uint32)
@@ -86,16 +88,19 @@ class NTTPlan:
             for i in range(1, n):
                 ipsi_pows[i] = ipsi_pows[i - 1] * psi_inv % p
             for i in range(n):
-                psi_rev[l, i] = to_mont_host(psi_pows[rev[i]], p)
-                psi_inv_rev[l, i] = to_mont_host(ipsi_pows[rev[i]], p)
-            n_inv[l, 0] = to_mont_host(pow(n, -1, p), p)
+                w, iw = psi_pows[rev[i]], ipsi_pows[rev[i]]
+                psi_rev[l, 0, i], psi_rev[l, 1, i] = w, shoup_host(w, p)
+                psi_inv_rev[l, 0, i] = iw
+                psi_inv_rev[l, 1, i] = shoup_host(iw, p)
+            ninv = pow(n, -1, p)
+            n_inv[l, 0, 0], n_inv[l, 1, 0] = ninv, shoup_host(ninv, p)
             pinv, r2 = mont_constants(p)
             p_arr[l, 0] = p
             pinv_arr[l, 0] = pinv
             r2_arr[l, 0] = r2
         self.psi_rev = psi_rev
         self.psi_inv_rev = psi_inv_rev
-        self.n_inv_mont = n_inv
+        self.n_inv = n_inv
         self.p_arr = p_arr
         self.pinv_arr = pinv_arr
         self.r2_arr = r2_arr
@@ -129,14 +134,14 @@ def ntt(x, plan: NTTPlan):
     assert x.shape[-2:] == (L, n), (x.shape, L, n)
     psi = jnp.asarray(plan.psi_rev)
     p = jnp.asarray(plan.p_arr)[:, :, None]      # (L,1,1)
-    pinv = jnp.asarray(plan.pinv_arr)[:, :, None]
     m, t = 1, n
     for _ in range(plan.logn):
         t //= 2
         x = x.reshape(*bshape, L, m, 2, t)
-        s = psi[:, m:2 * m][:, :, None]          # (L, m, 1)
+        sw = psi[:, 0, m:2 * m][:, :, None]      # (L, m, 1)
+        sq = psi[:, 1, m:2 * m][:, :, None]
         u = x[..., 0, :]
-        v = mont_mul(x[..., 1, :], s, p, pinv)
+        v = shoup_mul(x[..., 1, :], sw, sq, p)
         x = jnp.stack([add_mod(u, v, p), sub_mod(u, v, p)], axis=-2)
         m *= 2
     return x.reshape(*bshape, L, n)
@@ -149,20 +154,19 @@ def intt(x, plan: NTTPlan):
     assert x.shape[-2:] == (L, n)
     ipsi = jnp.asarray(plan.psi_inv_rev)
     p = jnp.asarray(plan.p_arr)[:, :, None]
-    pinv = jnp.asarray(plan.pinv_arr)[:, :, None]
     m, t = n, 1
     while m > 1:
         h = m // 2
         x = x.reshape(*bshape, L, h, 2, t)
-        s = ipsi[:, h:2 * h][:, :, None]
+        sw = ipsi[:, 0, h:2 * h][:, :, None]
+        sq = ipsi[:, 1, h:2 * h][:, :, None]
         u = x[..., 0, :]
         v = x[..., 1, :]
         x = jnp.stack(
-            [add_mod(u, v, p), mont_mul(sub_mod(u, v, p), s, p, pinv)], axis=-2
+            [add_mod(u, v, p), shoup_mul(sub_mod(u, v, p), sw, sq, p)], axis=-2
         )
         t *= 2
         m = h
     x = x.reshape(*bshape, L, n)
-    return mont_mul(
-        x, jnp.asarray(plan.n_inv_mont), jnp.asarray(plan.p_arr), jnp.asarray(plan.pinv_arr)
-    )
+    ninv = jnp.asarray(plan.n_inv)
+    return shoup_mul(x, ninv[:, 0], ninv[:, 1], jnp.asarray(plan.p_arr))

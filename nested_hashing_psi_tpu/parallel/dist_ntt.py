@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from nested_hashing_psi_tpu.ops.modmath import add_mod, mont_mul, sub_mod
+from nested_hashing_psi_tpu.ops.modmath import add_mod, mont_mul, shoup_mul, sub_mod
 from nested_hashing_psi_tpu.ops.ntt import NTTPlan
 from nested_hashing_psi_tpu.ops.ntt4 import FourStepPlan, _matmul_left, _matmul_right
 
@@ -118,17 +118,20 @@ def ring_ntt_local_fns(plan: NTTPlan, axis: str, D: int):
     logn = plan.logn
     block = n // D
 
-    psi = jnp.asarray(plan.psi_rev)           # (L, n) Montgomery form
+    psi = jnp.asarray(plan.psi_rev)           # (L, 2, n) Shoup pairs
     ipsi = jnp.asarray(plan.psi_inv_rev)
-    n_inv = jnp.asarray(plan.n_inv_mont)      # (L, 1)
+    n_inv = jnp.asarray(plan.n_inv)           # (L, 2, 1)
     p2 = jnp.asarray(plan.p_arr)              # (L, 1)
-    pinv2 = jnp.asarray(plan.pinv_arr)
     p3 = p2[:, :, None]                       # (L, 1, 1) for (..., L, m, t)
-    pinv3 = pinv2[:, :, None]
 
     def _tw_scalar(table, idx):
-        # (L,) twiddle for one group, Montgomery form; idx is traced.
-        return jax.lax.dynamic_slice(table, (0, idx), (L, 1))
+        # (L, 1) twiddle pair for one group; idx is traced.
+        s = jax.lax.dynamic_slice(table, (0, 0, idx), (L, 2, 1))
+        return s[:, 0], s[:, 1]
+
+    def _tw_block(table, idx, count):
+        s = jax.lax.dynamic_slice(table, (0, 0, idx), (L, 2, count))
+        return s[:, 0, :, None], s[:, 1, :, None]
 
     def fwd_local(x):
         d = jax.lax.axis_index(axis)
@@ -141,17 +144,17 @@ def ring_ntt_local_fns(plan: NTTPlan, axis: str, D: int):
             is_lower = (d & mask) == 0
             u = jnp.where(is_lower, x, other)
             v_in = jnp.where(is_lower, other, x)
-            tw = _tw_scalar(psi, m + (d >> (logD - s)))
-            v = mont_mul(v_in, tw, p2, pinv2)
+            tww, twq = _tw_scalar(psi, m + (d >> (logD - s)))
+            v = shoup_mul(v_in, tww, twq, p2)
             x = jnp.where(is_lower, add_mod(u, v, p2), sub_mod(u, v, p2))
         for s in range(logD, logn):  # local stages on the block
             m = 1 << s
             t = n >> (s + 1)
             m_loc = m >> logD
-            tw = jax.lax.dynamic_slice(psi, (0, m + d * m_loc), (L, m_loc))
+            tww, twq = _tw_block(psi, m + d * m_loc, m_loc)
             xr = x.reshape(*bshape, L, m_loc, 2, t)
             u = xr[..., 0, :]
-            v = mont_mul(xr[..., 1, :], tw[:, :, None], p3, pinv3)
+            v = shoup_mul(xr[..., 1, :], tww, twq, p3)
             x = jnp.stack(
                 [add_mod(u, v, p3), sub_mod(u, v, p3)], axis=-2
             ).reshape(*bshape, L, block)
@@ -164,14 +167,14 @@ def ring_ntt_local_fns(plan: NTTPlan, axis: str, D: int):
             h = 1 << s
             t = n >> (s + 1)
             h_loc = h >> logD
-            tw = jax.lax.dynamic_slice(ipsi, (0, h + d * h_loc), (L, h_loc))
+            tww, twq = _tw_block(ipsi, h + d * h_loc, h_loc)
             xr = x.reshape(*bshape, L, h_loc, 2, t)
             u = xr[..., 0, :]
             v = xr[..., 1, :]
             x = jnp.stack(
                 [
                     add_mod(u, v, p3),
-                    mont_mul(sub_mod(u, v, p3), tw[:, :, None], p3, pinv3),
+                    shoup_mul(sub_mod(u, v, p3), tww, twq, p3),
                 ],
                 axis=-2,
             ).reshape(*bshape, L, block)
@@ -183,13 +186,13 @@ def ring_ntt_local_fns(plan: NTTPlan, axis: str, D: int):
             is_lower = (d & mask) == 0
             u = jnp.where(is_lower, x, other)
             v = jnp.where(is_lower, other, x)
-            tw = _tw_scalar(ipsi, h + (d >> (logD - s)))
+            tww, twq = _tw_scalar(ipsi, h + (d >> (logD - s)))
             x = jnp.where(
                 is_lower,
                 add_mod(u, v, p2),
-                mont_mul(sub_mod(u, v, p2), tw, p2, pinv2),
+                shoup_mul(sub_mod(u, v, p2), tww, twq, p2),
             )
-        return mont_mul(x, n_inv, p2, pinv2)
+        return shoup_mul(x, n_inv[:, 0], n_inv[:, 1], p2)
 
     return fwd_local, inv_local
 
