@@ -688,13 +688,53 @@ class BGVContext:
     def ct_ct_mul_relin(self, a: Ciphertext, b: Ciphertext, rlk: RelinKey) -> Ciphertext:
         return self.relinearize(self.ct_ct_mul(a, b), rlk)
 
+    @property
+    def _split_plan(self):
+        """Lazily-built four-step plan for the fused Pallas NTT (TPU)."""
+        if not hasattr(self, "_split_plan_cache"):
+            from nested_hashing_psi_tpu.ops.ntt_pallas import SplitNTTPlan
+
+            self._split_plan_cache = SplitNTTPlan(self.n, self.q_primes)
+        return self._split_plan_cache
+
+    @staticmethod
+    def _fused_ntt_ok(n: int) -> bool:
+        """Use the fused Pallas NTT only single-chip on TPU: under a GSPMD
+        mesh the operand axes may be partitioned across devices, which
+        pallas_call does not auto-partition (the sharded PIE paths carry
+        their own distributed NTTs in parallel/{mesh,dist_ntt}.py)."""
+        return (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and n >= 2048
+        )
+
+    def _ntt_fast(self, x):
+        """Forward NTT over q: fused VMEM-resident Pallas kernel on a single
+        TPU chip (bit-exact with ops.ntt.ntt -- same canonical bit-reversed
+        order), unrolled jnp stages elsewhere (CPU tests, device meshes)."""
+        if self._fused_ntt_ok(self.n):
+            from nested_hashing_psi_tpu.ops.ntt_pallas import ntt_pallas
+
+            return ntt_pallas(x, self._split_plan)
+        return ntt(x, self.plan)
+
+    def _intt_fast(self, x):
+        if self._fused_ntt_ok(self.n):
+            from nested_hashing_psi_tpu.ops.ntt_pallas import intt_pallas
+
+            return intt_pallas(x, self._split_plan)
+        return intt(x, self.plan)
+
     def _rns_decompose(self, d2: jnp.ndarray) -> jnp.ndarray:
         """(..., L, N) NTT -> centered limb digits re-reduced mod every q_j,
-        back in NTT domain: (..., L_dig, L, N)."""
-        coeffs = intt(d2, self.plan)  # (..., L, N), limb k holds [x]_{q_k}
+        back in NTT domain: (..., L_dig, L, N). The decompose iNTT + L_dig
+        digit NTTs dominate relinearization (SURVEY hard part #2), so they
+        run on the fused Pallas path on TPU."""
+        coeffs = self._intt_fast(d2)  # (..., L, N), limb k holds [x]_{q_k}
         dk = coeffs[..., :, None, :]              # (..., L_dig, 1, N)
         big = dk > self.q_half[:, None, :]        # centered lift sign
         r = dk % self.p[None, :, :]               # (..., L_dig, L, N)
         r_neg = sub_mod(r, self.qk_mod_qj, self.p[None, :, :])
         digits = jnp.where(big, r_neg, r)
-        return ntt(digits, self.plan)
+        return self._ntt_fast(digits)

@@ -206,19 +206,24 @@ class BatchedFHEPIE:
                 c = self.ctx
                 for _ in range(self.H - 1):
                     c = c.drop_limb_context()
+            # table/mask/keys enter as jit ARGUMENTS: closing over them would
+            # embed the packed table (GBs at 2^24 scale) as a literal
+            # constant in the lowered program.
             self._run = jax.jit(
-                lambda i, m: batched_pie_forward(
+                lambda i, m, tbl, msk, rk: batched_pie_forward(
                     self.ctx,
-                    self.rlk,
+                    rk,
                     i.data,
                     m.data,
-                    self.table_pt,
-                    self.mask_pt,
+                    tbl,
+                    msk,
                     use_kernel=use_kernel,
                     leveled=self.leveled,
                 )
             )
-        return self._run(index_cts, minus_ct)
+        return self._run(
+            index_cts, minus_ct, self.table_pt, self.mask_pt, self.rlk
+        )
 
     def run_streamed(self, chunks, minus_ct: Ciphertext) -> Ciphertext:
         """Compute/communication-overlapped online step.
@@ -236,17 +241,18 @@ class BatchedFHEPIE:
         if not hasattr(self, "_stream_jits"):
             use_kernel = jax.default_backend() == "tpu"
 
-            def partial(idx_chunk, p0):
+            # table/mask/keys are jit ARGUMENTS (not closures): see run().
+            def partial(idx_chunk, p0, table_pt):
                 w = idx_chunk.shape[1]
-                tbl = jax.lax.dynamic_slice_in_dim(self.table_pt, p0, w, axis=2)
+                tbl = jax.lax.dynamic_slice_in_dim(table_pt, p0, w, axis=2)
                 return position_sum(self.ctx, idx_chunk, tbl, use_kernel=use_kernel)
 
             def acc_fn(a, b):
                 return add_mod(a, b, self.ctx.p)
 
-            def finish(ip, minus_data):
+            def finish(ip, minus_data, mask_pt, rk):
                 return combine_ip(
-                    self.ctx, self.rlk, ip, minus_data, self.mask_pt,
+                    self.ctx, rk, ip, minus_data, mask_pt,
                     leveled=self.leveled,
                 )
 
@@ -256,9 +262,9 @@ class BatchedFHEPIE:
         partial_f, acc_f, finish_f = self._stream_jits
         ip = None
         for p0, idx_chunk in chunks:
-            part = partial_f(jnp.asarray(idx_chunk), p0)  # async dispatch
-            ip = part if ip is None else acc_f(ip, part)
-        return finish_f(ip, minus_ct.data)
+            part = partial_f(jnp.asarray(idx_chunk), p0, self.table_pt)
+            ip = part if ip is None else acc_f(ip, part)  # async dispatch
+        return finish_f(ip, minus_ct.data, self.mask_pt, self.rlk)
 
 
 @dataclass

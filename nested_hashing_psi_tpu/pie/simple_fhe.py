@@ -98,23 +98,30 @@ class SimpleFHEPIE:
         (hash-fn axis shuffled per pie; slot b of result = bin b)."""
         if self._run is None:
             self._run = jax.jit(self._run_impl)
-        return self._run(index_cts)
+        # table/sel/mask plaintexts enter as jit ARGUMENTS: closing over
+        # them would embed the packed table as a literal constant in the
+        # lowered program (GBs at scale).
+        return self._run(
+            index_cts, self.table_pt, self.sel_pt, self.mask_pt,
+            jnp.asarray(self.hf_perm), self.gks,
+        )
 
-    def _run_impl(self, index_cts: Ciphertext) -> Ciphertext:
+    def _run_impl(
+        self, index_cts: Ciphertext, table_pt, sel_pt, mask_pt, hf_perm, gks
+    ) -> Ciphertext:
         ctx = self.ctx
         idx = index_cts.data  # (nPies, H, 2, L, N)
         prod = mont_mul(
-            idx[:, :, None], self.table_pt[:, :, :, None], ctx.p, ctx.pinv
+            idx[:, :, None], table_pt[:, :, :, None], ctx.p, ctx.pinv
         )  # (nPies, H, B, 2, L, N)
         summed = ctx.eval_sum_all_slots(
-            Ciphertext(prod, ctx.default_form), self.gks
+            Ciphertext(prod, ctx.default_form), gks
         ).data
-        sel = mont_mul(summed, self.sel_pt[:, None], ctx.p, ctx.pinv)
+        sel = mont_mul(summed, sel_pt[:, None], ctx.p, ctx.pinv)
         merged = modsum(sel, ctx.p, axis=2)  # (nPies, H, 2, L, N)
-        masked = mont_mul(merged, self.mask_pt[:, :, None], ctx.p, ctx.pinv)
-        perm = jnp.asarray(self.hf_perm)
+        masked = mont_mul(merged, mask_pt[:, :, None], ctx.p, ctx.pinv)
         return Ciphertext(
-            jnp.take_along_axis(masked, perm[:, :, None, None, None], axis=1),
+            jnp.take_along_axis(masked, hf_perm[:, :, None, None, None], axis=1),
             ctx.default_form,
         )
 
