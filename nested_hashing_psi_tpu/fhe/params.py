@@ -101,6 +101,12 @@ def default_num_limbs(
         margin = 25
         return max(2, math.ceil((mask + margin) / LIMB_BITS))
 
+    if eval_sum:
+        # EvalSum slot ladder in BGV: key-switch noise is additionally
+        # amplified by t (the gadget error enters as t*e), so the BFV
+        # empirical model gains one more t_bits term.
+        ip = max(ip, LIMB_BITS + 2 * t_bits + 3 * logn + fresh)
+
     if leveled and mults > 0:
         floor = t_bits + 12  # mod-switch rounding floor ~ t * small
         acc = max(ip - LIMB_BITS, floor)

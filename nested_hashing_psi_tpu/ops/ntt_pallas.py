@@ -170,6 +170,27 @@ class SplitNTTPlan:
         self.p_arr = p_arr
         self.log1, self.log2 = log1, log2_
 
+        # v2 ("no-roll") kernel tables: sub-tile stages (pair distance
+        # t < SPLIT_MIN_T) run in REGROUPED row space -- rows (blk*8 + off)
+        # relocated to (off*(M/8) + blk) by one reshape/swap -- which scales
+        # every pair distance by M/8, so all butterflies stay tile-aligned
+        # split-form (no sublane rolls, no selects). The per-row twiddle
+        # tables for those stages are permuted to match here, on host.
+        def v2_tables(tab, M):
+            out = tab.copy()
+            if not _use_regroup(M):
+                return out
+            idx = _regroup_perm(M)
+            for k in range(tab.shape[2]):
+                if (M >> (k + 1)) < SPLIT_MIN_T:
+                    out[:, :, k] = tab[:, :, k][:, :, idx]
+            return out
+
+        self.s1_v2 = v2_tables(s1, m1)
+        self.is1_v2 = v2_tables(is1, m1)
+        self.s2_v2 = v2_tables(s2, m2)
+        self.is2_v2 = v2_tables(is2, m2)
+
     @property
     def L(self) -> int:
         return len(self.primes)
@@ -190,6 +211,36 @@ def _rows_mask(M: int, span: int, ndim: int):
 # Minimum pair distance for the reshape (u/v-split) form: below a sublane
 # tile the split view forces sub-tile relayouts, so fall back to rolls.
 SPLIT_MIN_T = 8
+
+
+def _use_regroup(M: int) -> bool:
+    """Whether the v2 kernel lifts the sub-tile stages of an M-point half
+    into regrouped row space: M/8 >= 8 guarantees every scaled pair distance
+    t*(M/8) >= SPLIT_MIN_T (t >= 1)."""
+    return M >= 64
+
+
+def _regroup_perm(M: int) -> np.ndarray:
+    """idx such that regrouped_row[r'] = natural_row[idx[r']]: the regroup
+    sends row blk*8 + off to off*(M/8) + blk."""
+    R = M // 8
+    rp = np.arange(M)
+    return (rp % R) * 8 + rp // R
+
+
+def _regroup(X):
+    """Rows (..., M, lanes): blk*8 + off -> off*(M/8) + blk (one sub-block
+    transpose on the sublane axis; lifts sub-tile pair strides by M/8)."""
+    *lead, M, lanes = X.shape
+    Xr = X.reshape(*lead, M // 8, 8, lanes)
+    return jnp.swapaxes(Xr, -3, -2).reshape(*lead, M, lanes)
+
+
+def _ungroup(X):
+    """Inverse of _regroup."""
+    *lead, M, lanes = X.shape
+    Xr = X.reshape(*lead, 8, M // 8, lanes)
+    return jnp.swapaxes(Xr, -3, -2).reshape(*lead, M, lanes)
 
 
 def _v_twiddle(s_row, M: int, t: int):
@@ -289,6 +340,50 @@ def _fwd_stages(X, s1, s2, tw, p, m1: int, m2: int):
     return jnp.swapaxes(X, -1, -2)       # (..., m1, m2) = (a, b)
 
 
+def _run_half_v2(X, tab, M: int, p, stage_fn, ks):
+    """One half of the split NTT with NO roll stages: iterate stage indices
+    ``ks`` (pair distance t = M >> (k+1)); contiguous runs of sub-tile
+    stages execute in regrouped row space with distance t*(M/8) using the
+    plan's permuted tables (tab = (2, log, M, 1) v2 tables)."""
+    grouped = False
+    R = M // 8
+    for k in ks:
+        t = M >> (k + 1)
+        if t < SPLIT_MIN_T and _use_regroup(M):
+            if not grouped:
+                X = _regroup(X)
+                grouped = True
+            X = stage_fn(X, tab[0, k], tab[1, k], t * R, p)
+        else:
+            if grouped:
+                X = _ungroup(X)
+                grouped = False
+            X = stage_fn(X, tab[0, k], tab[1, k], t, p)
+    if grouped:
+        X = _ungroup(X)
+    return X
+
+
+def _fwd_stages_v2(X, s1, s2, tw, p, m1: int, m2: int):
+    """Bit-exact with _fwd_stages; sub-tile stages run regrouped (v2 tables).
+    Table axes here: s1/s2 = (2, log, M, 1), tw = (2, m1, m2)."""
+    X = _run_half_v2(X, s1, m1, p, ct_stage, range(_log2(m1)))
+    X = shoup_mul(X, tw[..., 0, :, :], tw[..., 1, :, :], p)
+    X = jnp.swapaxes(X, -1, -2)
+    X = _run_half_v2(X, s2, m2, p, gs_stage, range(_log2(m2)))
+    return jnp.swapaxes(X, -1, -2)
+
+
+def _inv_stages_v2(X, is1, is2, itw, p, m1: int, m2: int):
+    """Bit-exact with _inv_stages; sub-tile stages run regrouped."""
+    X = jnp.swapaxes(X, -1, -2)
+    X = _run_half_v2(X, is2, m2, p, ct_stage, reversed(range(_log2(m2))))
+    X = jnp.swapaxes(X, -1, -2)
+    X = shoup_mul(X, itw[..., 0, :, :], itw[..., 1, :, :], p)
+    X = _run_half_v2(X, is1, m1, p, gs_stage, reversed(range(_log2(m1))))
+    return X
+
+
 def _inv_stages(X, is1, is2, itw, p, m1: int, m2: int):
     """Inverse of _fwd_stages (bit-reversed in -> natural out)."""
     X = jnp.swapaxes(X, -1, -2)          # (..., m2, m1)
@@ -348,13 +443,13 @@ def _make_kernel(m1: int, m2: int, inverse: bool):
         l = pl.program_id(0)
         p = p_ref[l, 0]
         X = x_ref[:, 0]                      # (TB, m1, m2)
-        sa = sa_ref[0]                       # (2, log1, m1, 1)
-        sb = sb_ref[0]                       # (2, log2, m2, 1)
+        sa = sa_ref[0]                       # (2, log1, m1, 1) v2 tables
+        sb = sb_ref[0]                       # (2, log2, m2, 1) v2 tables
         tw = tw_ref[0]                       # (2, m1, m2)
         if inverse:
-            out = _inv_stages(X, sa, sb, tw, p, m1, m2)
+            out = _inv_stages_v2(X, sa, sb, tw, p, m1, m2)
         else:
-            out = _fwd_stages(X, sa, sb, tw, p, m1, m2)
+            out = _fwd_stages_v2(X, sa, sb, tw, p, m1, m2)
         out_ref[:, 0] = out
 
     return kernel
@@ -373,9 +468,9 @@ def _pallas_call(x, plan: SplitNTTPlan, inverse: bool, tile_b: int,
     Bp = B + pad
 
     if inverse:
-        sa, sb, tw = plan.is1, plan.is2, plan.itw
+        sa, sb, tw = plan.is1_v2, plan.is2_v2, plan.itw
     else:
-        sa, sb, tw = plan.s1, plan.s2, plan.tw
+        sa, sb, tw = plan.s1_v2, plan.s2_v2, plan.tw
 
     grid = (L, Bp // tile_b)
     out = pl.pallas_call(

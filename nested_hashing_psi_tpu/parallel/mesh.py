@@ -203,14 +203,27 @@ def sp_result_form_scale(ctx: BGVContext, n_hash: int) -> tuple[str, int]:
     return ctx.default_form, 1
 
 
-def sharded_pie_step(ctx: BGVContext, mesh: Mesh):
+def sharded_pie_step(
+    ctx: BGVContext, mesh: Mesh, leveled: bool = False, n_hash: int | None = None
+):
     """Returns (jitted_fn, shardings): the full online PIE step jitted over
-    the mesh with input/output shardings applied."""
+    the mesh with input/output shardings applied.
+
+    ``leveled`` must match the (BGV) PIE's own setting so the mesh path runs
+    the same circuit the limb budget was provisioned for (a flat run of a
+    leveled-budgeted config would exceed its noise budget). When leveled,
+    pass ``n_hash`` so the drop-limb context chain is built eagerly (its
+    constants must exist before tracing)."""
     sh = pie_shardings(mesh)
+    if leveled and n_hash is not None:
+        c = ctx
+        for _ in range(n_hash - 1):
+            c = c.drop_limb_context()
 
     def step(idx, minus, table, mask, rlk_b, rlk_a):
         return batched_pie_forward(
-            ctx, RelinKey(b_mont=rlk_b, a_mont=rlk_a), idx, minus, table, mask
+            ctx, RelinKey(b_mont=rlk_b, a_mont=rlk_a), idx, minus, table, mask,
+            leveled=leveled,
         ).data
 
     fn = jax.jit(

@@ -40,6 +40,15 @@ from nested_hashing_psi_tpu.hashing.hierarchical import HierarchicalCuckooHashTa
 from nested_hashing_psi_tpu.ops.modmath import add_mod, modsum, mont_mul
 
 
+def _zero_slots(result_slots: np.ndarray) -> np.ndarray:
+    """Vectorized slot == 0 test over decrypted values (decode returns
+    uint64 whenever t < 2^63 -- always here -- with an object-array
+    fallback); one numpy comparison instead of a Python per-slot scan."""
+    arr = np.asarray(result_slots)
+    zero = np.equal(arr, 0)
+    return zero if zero.dtype == bool else zero.astype(bool)
+
+
 def batched_pie_forward(
     ctx: BGVContext,
     rlk: RelinKey,
@@ -317,11 +326,7 @@ class BatchedFHEClientOps:
     def extract_intersection(self, result_slots: np.ndarray) -> np.ndarray:
         """result_slots: (D, batch) decrypted values. Returns (k, 2) uint64
         items of the intersection (slot c matches iff any depth is 0)."""
-        zero = np.zeros_like(result_slots, dtype=bool)
-        zero = np.array(
-            [[int(v) == 0 for v in row] for row in result_slots], dtype=bool
-        )
-        matched_slots = zero.any(axis=0)
+        matched_slots = _zero_slots(result_slots).any(axis=0)
         tab = self.client_table.table[:, 0, :, :].reshape(-1, 2)
         occupied = (tab != 0).any(axis=1)
         sel = matched_slots[: len(tab)] & occupied

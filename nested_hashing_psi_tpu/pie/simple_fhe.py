@@ -180,14 +180,9 @@ class SimpleFHEClientOps:
     def extract_intersection(self, result_slots: np.ndarray) -> np.ndarray:
         """result_slots: (nPies, H, max_pp) decrypted bin values. A client
         position matches iff any (hf, bin) is 0."""
-        zero = np.array(
-            [
-                [[int(v) == 0 for v in bins] for bins in per_hf]
-                for per_hf in result_slots
-            ],
-            dtype=bool,
-        )
-        matched = zero.any(axis=(1, 2))
+        from nested_hashing_psi_tpu.pie.batched_fhe import _zero_slots
+
+        matched = _zero_slots(result_slots).any(axis=(1, 2))
         items = self._slot_items()
         occupied = (items != 0).any(axis=1)
         return items[matched & occupied]

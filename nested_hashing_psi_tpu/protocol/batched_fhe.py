@@ -209,6 +209,15 @@ class BatchedFHEPSIServer(PSIServerBase):
     def run_online_phase(self) -> None:
         minus = Ciphertext(jnp.asarray(self.channel.read_tensor()))
         n_chunks = int(self.channel.read_tensor()[0])
+        P = self.ht.each_cuckoo_table_size
+        # wire value is untrusted: a non-divisor would mis-slice the table
+        # against the client's chunk widths; a huge value would block on
+        # reads that never arrive
+        if not (1 <= n_chunks <= P and P % n_chunks == 0):
+            raise ValueError(
+                f"invalid stream chunk count {n_chunks} from client "
+                f"(must divide the inner position count {P})"
+            )
         if n_chunks == 1:
             idx = Ciphertext(jnp.asarray(self.channel.read_tensor()))
             begin = time.monotonic_ns()
@@ -217,7 +226,6 @@ class BatchedFHEPSIServer(PSIServerBase):
             begin = time.monotonic_ns()
             # streamed path: position-sum each chunk as it arrives (async
             # dispatch overlaps the next chunk's network read)
-            P = self.ht.each_cuckoo_table_size
             w = P // n_chunks
 
             def chunks():

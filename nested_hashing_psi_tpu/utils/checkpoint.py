@@ -49,7 +49,14 @@ def load_batched_pie(path: str, ctx=None, rlk=None):
     from nested_hashing_psi_tpu.pie.batched_fhe import BatchedFHEPIE
 
     z = np.load(path)
-    assert int(z["version"]) == FORMAT_VERSION
+    version = int(z["version"])
+    if version != FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported checkpoint format version {version} "
+            f"(this build reads version {FORMAT_VERSION}; v1 checkpoints "
+            f"lack the embedded scheme params/relin key -- rebuild the "
+            f"offline artifact with save_batched_pie)"
+        )
     if ctx is None:
         from nested_hashing_psi_tpu.fhe.bfv import make_context
         from nested_hashing_psi_tpu.fhe.params import SchemeParams

@@ -45,3 +45,19 @@ def test_batched_pie_checkpoint_roundtrip(tmp_path):
     r1 = np.asarray(pie.run(idx, minus).data)
     r2 = np.asarray(restored.run(idx, minus).data)
     np.testing.assert_array_equal(r1, r2)
+
+    # self-contained resume: nothing but the file (ctx + rlk rebuilt from the
+    # persisted scheme params / key material)
+    solo = load_batched_pie(path)
+    assert solo.ctx.params == ctx.params
+    r3 = np.asarray(solo.run(idx, minus).data)
+    np.testing.assert_array_equal(r1, r3)
+
+
+def test_checkpoint_rejects_unknown_version(tmp_path):
+    import pytest
+
+    path = str(tmp_path / "old.npz")
+    np.savez_compressed(path, version=1)
+    with pytest.raises(ValueError, match="version 1"):
+        load_batched_pie(path)

@@ -99,3 +99,39 @@ def test_batched_fhe_e2e_bgv_leveled():
     assert len(client.intersection_calculated) == 5
     # H=2 -> one mod switch -> result at L-1 limbs
     assert server.pie.leveled is True
+
+
+def test_server_rejects_invalid_chunk_count():
+    """The server validates the wire-read n_chunks (untrusted): a non-divisor
+    of the inner position count must fail the session with a clear error, not
+    mis-slice the table or hang on reads that never arrive."""
+    from nested_hashing_psi_tpu.protocol.batched_fhe import BatchedFHEPSIServer
+    from nested_hashing_psi_tpu.protocol.channel import LoopbackChannel
+
+    peer, ours = LoopbackChannel.pair()
+    peer.write_tensor(np.zeros((2, 2, 4), np.uint32))  # minus ciphertext
+    peer.write_tensor(np.array([7], np.uint64))  # 7 does not divide P = 12
+    srv = BatchedFHEPSIServer.__new__(BatchedFHEPSIServer)
+    srv.channel = ours
+    srv.ht = small_ht()
+    with pytest.raises(ValueError, match="chunk count 7"):
+        srv.run_online_phase()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bit_size", [40, 48])
+def test_batched_fhe_e2e_big_t_ring16384(bit_size):
+    """40/48-bit plaintext moduli at the production ring
+    (reference SimpleFHEPSIClient.cpp:29-49 selects these at runtime):
+    exercises the native __int128 big-t decode on the protocol path with the
+    default limb budget, and asserts a real noise margin."""
+    client, server, ok = run_in_process(
+        small_params(bit_size=bit_size, ring_dim=16384, num_limbs=0),
+        small_ht(),
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 5
+    budget = server.ctx.params.num_limbs * 31
+    assert client.noise_bits < budget - 20, (
+        f"noise {client.noise_bits} too close to budget {budget}"
+    )

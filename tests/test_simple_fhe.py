@@ -56,3 +56,45 @@ def test_simple_fhe_bin_size_equals_table_size():
         params(), ht_params(each_cuckoo_table_size=8, max_items_per_position=8)
     )
     assert ok
+
+
+def test_simple_fhe_bgv_default_limbs():
+    """--bgv with the DEFAULT limb budget: the budget must model the EvalSum
+    rotation-ladder key-switch noise for BGV too (its gadget error enters
+    amplified by t), not just in the BFV branch."""
+    client, server, ok = run_in_process(
+        params(bgv=True, num_limbs=0), ht_params()
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 4
+    budget = server.ctx.params.num_limbs * 31
+    assert client.noise_bits < budget - 20
+
+
+@pytest.mark.slow
+def test_simple_fhe_bgv_default_limbs_ring16384():
+    """The advisor's risk case at the production ring: BGV + EvalSum ladder
+    (14 automorphism key-switches) with the default limb count. A budget miss
+    silently mis-decrypts; the margin assertion makes it loud."""
+    client, server, ok = run_in_process(
+        params(bgv=True, num_limbs=0, ring_dim=16384),
+        ht_params(each_simple_table_size=8),
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 4
+    budget = server.ctx.params.num_limbs * 31
+    assert client.noise_bits < budget - 20
+
+
+@pytest.mark.slow
+def test_simple_fhe_e2e_40bit_ring16384():
+    """40-bit plaintext modulus on the SimpleFHE (EvalSum) path at ring
+    16384 with default limbs: native __int128 decode end-to-end."""
+    client, server, ok = run_in_process(
+        params(bit_size=40, num_limbs=0, ring_dim=16384),
+        ht_params(each_simple_table_size=8),
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 4
+    budget = server.ctx.params.num_limbs * 31
+    assert client.noise_bits < budget - 20
