@@ -1,0 +1,118 @@
+"""Attribute the batched-PIE online step's wall-clock to its components.
+
+VERDICT round-2 weak #2: the full online step ran ~40x slower than its own
+NTT kernel; nobody had measured where the time went. This script times each
+stage of batched_pie_forward at the bench geometry (Parameters1.txt 2^20 row)
+on the real TPU, with the chained-iteration + single-host-fetch methodology
+(bench.py) that is honest through the async relay.
+
+Components:
+  pos_sum  -- fused Pallas position-sum kernel (ops/pie_kernels.py)
+  hps_mul  -- one BFV HPS ct x ct at (D, 2, L, N)
+  relin    -- one relinearization at (D, 3, L, N)
+  mask     -- the final mask multiply
+  full     -- the whole batched_pie_forward
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _sync(y):
+    return int(np.asarray(jax.device_get(y.ravel()[0])))
+
+
+def _ms(step, args, iters=20):
+    """step(*args, token) -> array; chained through a token element."""
+    o = step(*args, jnp.uint32(0))
+    _sync(o)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = step(*args, o.ravel()[0])
+    _sync(o)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from __graft_entry__ import _build_small_pie
+    from nested_hashing_psi_tpu.fhe.bgv import Ciphertext
+    from nested_hashing_psi_tpu.fhe.params import default_num_limbs
+    from nested_hashing_psi_tpu.pie.batched_fhe import (
+        batched_pie_forward,
+        position_sum,
+    )
+    from nested_hashing_psi_tpu.ops.modmath import add_mod, mont_mul
+
+    H, D, P, simple = 2, 12, 12, 8022
+    ring = 1 << 14
+    t = (1 << 32) + (1 << 20) + (1 << 19) + 1
+    L = default_num_limbs(t.bit_length(), H - 1, P, "bfv")
+    ctx, sk, rlk, pie, ops, idx_ct, minus_ct = _build_small_pie(
+        ring=ring, limbs=L, H=H, P=P, D=D, simple=simple, t=t, scheme="bfv"
+    )
+    use_kernel = jax.default_backend() == "tpu"
+    print(f"geometry H={H} D={D} P={P} L={ctx.L} n={ctx.n}", flush=True)
+
+    def tok(x, token):
+        return jax.lax.optimization_barrier((x, token))[0]
+
+    @jax.jit
+    def f_pos(idx, table, token):
+        return position_sum(ctx, tok(idx, token), table, use_kernel=use_kernel)
+
+    @jax.jit
+    def f_full(idx, minus, table, mask, rk, token):
+        return batched_pie_forward(
+            ctx, rk, tok(idx, token), minus, table, mask, use_kernel=use_kernel
+        ).data
+
+    ip0 = f_pos(idx_ct.data, pie.table_pt, jnp.uint32(0))
+    ip0 = add_mod(ip0, minus_ct.data[None, None], ctx.p)
+    a_d, b_d = ip0[0], ip0[1]  # (D, 2, L, N)
+
+    @jax.jit
+    def f_hps(a, b, token):
+        return ctx._hps_mul_impl(
+            Ciphertext(tok(a, token), "bfv", 1), Ciphertext(b, "bfv", 1)
+        ).data
+
+    d3 = f_hps(a_d, b_d, jnp.uint32(0))  # (D, 3, L, N)
+
+    @jax.jit
+    def f_relin(d, rk, token):
+        return ctx._relinearize_impl(
+            Ciphertext(tok(d, token), "bfv", 1), rk
+        ).data
+
+    @jax.jit
+    def f_mask(x, mask, token):
+        return mont_mul(tok(x, token), mask[:, None], ctx.p, ctx.pinv)
+
+    ct2 = f_relin(d3, rlk, jnp.uint32(0))
+
+    results = {}
+    t0 = time.perf_counter()
+    results["pos_sum"] = _ms(f_pos, (idx_ct.data, pie.table_pt))
+    results["hps_mul"] = _ms(f_hps, (a_d, b_d))
+    results["relin"] = _ms(f_relin, (d3, rlk))
+    results["mask"] = _ms(f_mask, (ct2, pie.mask_pt))
+    results["full"] = _ms(f_full, (idx_ct.data, minus_ct.data, pie.table_pt,
+                                   pie.mask_pt, rlk))
+    total = time.perf_counter() - t0
+    for k, v in results.items():
+        print(f"{k:>8}: {v:8.2f} ms", flush=True)
+    parts = sum(v for k, v in results.items() if k != "full")
+    print(f"sum(parts) = {parts:.2f} ms vs full = {results['full']:.2f} ms "
+          f"(wall {total:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,18 +28,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _sync(y):
+    """True execution barrier: one device->host element fetch. Through this
+    sandbox's async TPU relay, block_until_ready resolves when an op is
+    ENQUEUED remotely, not when it has executed (bench.py, BENCH_NOTES.md);
+    timing loops gated on it measure dispatch, 30-600x over the roofline."""
+    import jax
+    import numpy as np
+
+    return int(np.asarray(jax.device_get(y.ravel()[0])))
+
+
 def _bench(fn, args, depths: int, iters: int | None = None) -> float:
+    """Chained timing: every iteration's first input is data-dependent on
+    the previous output (optimization_barrier token), so each step is on the
+    critical path and the relay cannot elide repeats; ONE host fetch ends
+    the timed region."""
+    import jax
+
+    mix = jax.jit(
+        lambda first, o: jax.lax.optimization_barrier((first, o.ravel()[0]))[0]
+    )
     out = fn(*args)
-    out.block_until_ready()
+    _sync(out)
     t0 = time.perf_counter()
     out = fn(*args)
-    out.block_until_ready()
+    _sync(out)
     per = time.perf_counter() - t0
     it = iters or max(3, int(1.5 / max(per, 1e-5)))
     t0 = time.perf_counter()
     for _ in range(it):
-        out = fn(*args)
-    out.block_until_ready()
+        out = fn(mix(args[0], out), *args[1:])
+    _sync(out)
     el = time.perf_counter() - t0
     return depths * it / el
 

@@ -82,21 +82,50 @@ class BFVContext(BGVContext):
         """The exact t-scaling bridge multiplication (see module docstring)."""
         return super().ct_ct_mul(a, b)
 
+    @property
+    def _split_plan_aux(self):
+        """Fused Pallas plan for the HPS auxiliary base (see _split_plan)."""
+        if not hasattr(self, "_split_plan_aux_cache"):
+            from nested_hashing_psi_tpu.ops.ntt_pallas import SplitNTTPlan
+
+            self._split_plan_aux_cache = SplitNTTPlan(
+                self.n, self.mulconv.aux_primes
+            )
+        return self._split_plan_aux_cache
+
+    def _ntt_fast_aux(self, x):
+        """Aux-base forward NTT: fused kernel single-chip on TPU (same
+        gating as _ntt_fast), unrolled jnp stages elsewhere."""
+        if self._fused_ntt_ok(self.n):
+            from nested_hashing_psi_tpu.ops.ntt_pallas import ntt_pallas
+
+            return ntt_pallas(x, self._split_plan_aux)
+        return ntt(x, self.mulconv.plan_aux)
+
+    def _intt_fast_aux(self, x):
+        if self._fused_ntt_ok(self.n):
+            from nested_hashing_psi_tpu.ops.ntt_pallas import intt_pallas
+
+            return intt_pallas(x, self._split_plan_aux)
+        return intt(x, self.mulconv.plan_aux)
+
     def _hps_mul_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         mc = self._mulconv
         plan_aux = mc.plan_aux
         p_aux = jnp.asarray(plan_aux.p_arr)
         pinv_aux = jnp.asarray(plan_aux.pinv_arr)
         r2_aux = jnp.asarray(plan_aux.r2_arr)
-        # operand coefficients over q, extended to the aux base's NTT domain
-        ea = ntt(mc.extend_q_to_aux(intt(a.data, self.plan)), plan_aux)
-        eb = ntt(mc.extend_q_to_aux(intt(b.data, self.plan)), plan_aux)
+        # operand coefficients over q, extended to the aux base's NTT domain.
+        # All transforms run the fused Pallas path on a single TPU chip
+        # (~3x the unfused XLA stages at these shapes; see BENCH_NOTES.md)
+        ea = self._ntt_fast_aux(mc.extend_q_to_aux(self._intt_fast(a.data)))
+        eb = self._ntt_fast_aux(mc.extend_q_to_aux(self._intt_fast(b.data)))
         # tensor products over both bases
         d_q = tensor_product(a.data, b.data, self.p, self.pinv, self.r2)
         d_aux = tensor_product(ea, eb, p_aux, pinv_aux, r2_aux)
         # scale by t/q with rounding, exact-convert back to q
-        y = mc.scale_round(intt(d_q, self.plan), intt(d_aux, plan_aux))
-        out = ntt(mc.exact_to_q(y), self.plan)
+        y = mc.scale_round(self._intt_fast(d_q), self._intt_fast_aux(d_aux))
+        out = self._ntt_fast(mc.exact_to_q(y))
         return Ciphertext(out, "bfv", a.scale * b.scale % self.t)
 
     def _relinearize_impl(self, ct: Ciphertext, rlk) -> Ciphertext:

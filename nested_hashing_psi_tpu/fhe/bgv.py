@@ -34,6 +34,7 @@ from nested_hashing_psi_tpu.fhe.encoding import PackedEncoder
 from nested_hashing_psi_tpu.fhe.params import SchemeParams
 from nested_hashing_psi_tpu.ops.modmath import (
     add_mod,
+    cond_sub_mod,
     mont_constants,
     mont_mul,
     neg_mod,
@@ -734,7 +735,9 @@ class BGVContext:
         coeffs = self._intt_fast(d2)  # (..., L, N), limb k holds [x]_{q_k}
         dk = coeffs[..., :, None, :]              # (..., L_dig, 1, N)
         big = dk > self.q_half[:, None, :]        # centered lift sign
-        r = dk % self.p[None, :, :]               # (..., L_dig, L, N)
+        # cross-prime re-reduction: residue < 2**31 < 2*q_j (31-bit primes),
+        # so one conditional subtract replaces the integer division of `%`
+        r = cond_sub_mod(dk, self.p[None, :, :])  # (..., L_dig, L, N)
         r_neg = sub_mod(r, self.qk_mod_qj, self.p[None, :, :])
         digits = jnp.where(big, r_neg, r)
         return self._ntt_fast(digits)

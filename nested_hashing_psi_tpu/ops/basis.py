@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from nested_hashing_psi_tpu.ops.modmath import (
     U32,
     add_mod,
+    cond_sub_mod,
     modsum,
     mont_constants,
     mont_mul,
@@ -92,7 +93,7 @@ class BasisExtension:
         (correction=True) or +u*q, u in [0, L) (correction=False)."""
         y = mont_mul(x, self.qhat_inv_mont, self.src_p, self.src_pinv)
         # contraction: sum_i y_i * qhat_i  mod b_j
-        y_b = y[..., :, None, :] % self.dst_p  # (..., L, K, N)
+        y_b = cond_sub_mod(y[..., :, None, :], self.dst_p)  # (..., L, K, N)
         terms = mont_mul(y_b, self.qhat_mod_b_mont, self.dst_p, self.dst_pinv)
         acc = modsum(terms, self.dst_p, axis=-3)  # (..., K, N)
         if not correction:
@@ -101,7 +102,7 @@ class BasisExtension:
         inv = jnp.asarray(self._inv_src_np, fdtype)
         v = jnp.round(jnp.sum(y.astype(fdtype) * inv, axis=-2)).astype(U32)
         vq = mont_mul(
-            v[..., None, :] % self.dst_p, self.q_mod_b_mont, self.dst_p, self.dst_pinv
+            cond_sub_mod(v[..., None, :], self.dst_p), self.q_mod_b_mont, self.dst_p, self.dst_pinv
         )
         return sub_mod(acc, vq, self.dst_p)
 
@@ -239,7 +240,7 @@ class BFVMulConverter:
         p_q, pinv_q = A(self.p_q), A(self.pinv_q)
         p_aux, pinv_aux = A(self.p_aux), A(self.pinv_aux)
         y = mont_mul(x, A(self.qhat_inv_mont_q), p_q, pinv_q)
-        y_b = y[..., :, None, :] % p_aux  # (..., L, K+1, N)
+        y_b = cond_sub_mod(y[..., :, None, :], p_aux)  # (..., L, K+1, N)
         terms = mont_mul(y_b, A(self.qhat_mod_aux_mont), p_aux, pinv_aux)
         acc = modsum(terms, p_aux, axis=-3)
         fdtype = jnp.zeros(0, jnp.float64).dtype  # f64 iff x64 enabled
@@ -247,7 +248,7 @@ class BFVMulConverter:
             jnp.sum(y.astype(fdtype) * jnp.asarray(self.inv_q_f, fdtype), axis=-2)
         ).astype(U32)
         vq = mont_mul(
-            v[..., None, :] % p_aux, A(self.q_mod_aux_mont), p_aux, pinv_aux
+            cond_sub_mod(v[..., None, :], p_aux), A(self.q_mod_aux_mont), p_aux, pinv_aux
         )
         return sub_mod(acc, vq, p_aux)
 
@@ -274,12 +275,12 @@ class BFVMulConverter:
         y_b, y_mr = yp[..., :K, :], yp[..., K, :]
         p_b, pinv_b = A(self.p_aux[:K]), A(self.pinv_aux[:K])
         z = mont_mul(y_b, A(self.bhat_inv_mont), p_b, pinv_b)  # (..., K, N)
-        zq = z[..., :, None, :] % p_q  # (..., K, L, N)
+        zq = cond_sub_mod(z[..., :, None, :], p_q)  # (..., K, L, N)
         acc = modsum(
             mont_mul(zq, A(self.bhat_mod_q_mont), p_q, pinv_q), p_q, axis=-3
         )
         s_mr = modsum(
-            mont_mul(z % p_mr, A(self.bhat_mod_mr_mont), p_mr, pinv_mr),
+            mont_mul(cond_sub_mod(z, p_mr), A(self.bhat_mod_mr_mont), p_mr, pinv_mr),
             p_mr,
             axis=-2,
         )

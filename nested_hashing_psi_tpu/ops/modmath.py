@@ -88,22 +88,35 @@ def neg_mod(a, p):
     return jnp.where(a == 0, a, p - a)
 
 
+def cond_sub_mod(x, p):
+    """[x]_p for x < 2p: one compare + subtract + select.
+
+    Replaces the generic `%` (an expensive integer division on the VPU) for
+    cross-prime re-reduction of residues: every RNS prime here is 31 bits
+    (ops.primes.ntt_primes scans down from 2**31, so p > 2**30), hence any
+    residue x < 2**31 of any other prime satisfies x < 2p.
+    """
+    return jnp.where(x >= p, x - p, x)
+
+
 def modsum(x, p, axis=0):
     """Sum mod p along `axis` via pairwise tree reduction (no 64-bit needed).
 
     p must broadcast against x with `axis` removed (e.g. p = (L,1) against
-    x = (..., K, L, N) reduced over K).
+    x = (..., K, L, N) reduced over K). Unrolled into slice adds (static
+    axis sizes are small here: limbs/digits/positions); no concatenates, so
+    XLA fuses the whole tree into the producers.
     """
     x = jnp.moveaxis(x, axis, 0)
-    n = x.shape[0]
-    while n > 1:
-        m = n // 2
-        y = add_mod(x[:m], x[m:2 * m], p)
-        if n % 2:
-            y = jnp.concatenate([add_mod(y[:1], x[-1:], p), y[1:]], axis=0)
-        x = y
-        n = m
-    return x[0]
+    parts = [x[i] for i in range(x.shape[0])]
+    while len(parts) > 1:
+        odd = parts.pop() if len(parts) % 2 else None
+        parts = [
+            add_mod(parts[i], parts[i + 1], p) for i in range(0, len(parts), 2)
+        ]
+        if odd is not None:
+            parts[-1] = add_mod(parts[-1], odd, p)
+    return parts[0]
 
 
 def to_mont(a, p, pinv, r2):

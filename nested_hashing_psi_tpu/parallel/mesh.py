@@ -93,7 +93,9 @@ def sharded_simple_pie_step(pie, mesh: Mesh):
     return fn, sh
 
 
-def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
+def sp_sharded_pie_step(
+    ctx: BGVContext, mesh: Mesh, axis: str = "sp", pos_chunk: int | None = None
+):
     """Batched-PIE online step with the ring/slot (SP) axis sharded.
 
     The full SURVEY section 2.3 SP integration: every tensor keeps its
@@ -160,9 +162,12 @@ def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
         return fwd_l(mc.exact_to_q(y))            # (..., 3, L, Nloc)
 
     def step_local(idx, minus, table, mask, rb, ra):
+        from nested_hashing_psi_tpu.pie.batched_fhe import position_sum
+
         H = idx.shape[0]
-        prod = mont_mul(idx[:, None], table[..., None, :, :], p, pinv)
-        ip = modsum(prod, p, axis=2)              # (H, D_depth, 2, L, Nloc)
+        ip = position_sum(
+            ctx, idx, table, pos_chunk=pos_chunk
+        )                                         # (H, D_depth, 2, L, Nloc)
         ip = add_mod(ip, minus[None, None], p)
         acc = ip[0]
         for h in range(1, H):
@@ -196,6 +201,97 @@ def sp_sharded_pie_step(ctx: BGVContext, mesh: Mesh, axis: str = "sp"):
     return fn, sh
 
 
+def pp_pipelined_pie_step(
+    ctx: BGVContext,
+    mesh: Mesh,
+    axis: str = "pp",
+    leveled: bool = False,
+):
+    """Cross-chip PIPELINE-parallel batched-PIE online step (SURVEY 2.3 PP).
+
+    The SURVEY defines PP as staging the NTT -> pointwise mult -> iNTT ->
+    accumulate pipeline ACROSS CHIPS (the round-2 implementation only
+    overlapped client->server chunk streaming on one chip). Here the k chips
+    of the ``axis`` ring each own a 1/k position slice of the packed table
+    and of the index ciphertexts; the online step runs as a PIPELINED RING
+    REDUCE-SCATTER over bin depths:
+
+      step s: chip e computes the ct x pt position-sum of its local
+      positions for depth chunk (e - s - 1 mod k) WHILE the partial
+      accumulator for that chunk ppermutes in from the left neighbor; the
+      two meet in an add. After k steps chip e holds the complete position
+      sum for depth chunk e -- every hop's collective-permute is overlapped
+      with the next chunk's ct x pt compute (the 'ppermute handoff of the
+      accumulator while the next chunk's ct x pt runs').
+
+    The finish (cross-hash ct x ct + relin + mask) is depth-local by
+    construction, so it runs without further communication on each chip's
+    depth chunk; the output is depth-sharded. Bit-exact vs the single-chip
+    forward (modular sums reassociate exactly).
+
+    Requires P % k == 0 and D % k == 0. Returns (jitted_fn, shardings);
+    result form/scale match batched_pie_forward's.
+    """
+    from jax import shard_map
+
+    from nested_hashing_psi_tpu.ops.modmath import add_mod
+    from nested_hashing_psi_tpu.pie.batched_fhe import combine_ip, position_sum
+
+    k = mesh.shape[axis]
+    ring = [(i, (i + 1) % k) for i in range(k)]
+
+    def step_local(idx, minus, table, mask, rb, ra):
+        # idx (H, P/k, 2, L, N); table (H, D, P/k, L, N); mask (D/k, L, N)
+        D = table.shape[1]
+        assert D % k == 0, (D, k)
+        Dl = D // k
+        e = jax.lax.axis_index(axis)
+        acc = None
+        for s in range(k):
+            g = (e - s - 1) % k
+            tbl_g = jax.lax.dynamic_slice_in_dim(table, g * Dl, Dl, axis=1)
+            part = position_sum(ctx, idx, tbl_g)
+            if acc is None:
+                acc = part
+            else:
+                moved = jax.lax.ppermute(acc, axis, ring)
+                acc = add_mod(moved, part, ctx.p)
+        ct = combine_ip(
+            ctx,
+            RelinKey(b_mont=rb, a_mont=ra),
+            acc,
+            minus,
+            mask,
+            leveled=leveled,
+        )
+        return ct.data
+
+    if leveled:
+        c = ctx
+        while c.L > 2:
+            c = c.drop_limb_context()  # build chain eagerly (trace constants)
+
+    s_pos5 = P(None, axis, None, None, None)   # idx: positions sharded
+    s_tbl = P(None, None, axis, None, None)    # table: positions sharded
+    s_depth3 = P(axis, None, None)             # mask / per-depth outputs
+    s_rep3 = P(None, None, None)
+    s_out = P(axis, None, None, None)          # result: depths sharded
+    ns = lambda spec: NamedSharding(mesh, spec)
+    sh = dict(
+        idx=ns(s_pos5), minus=ns(s_rep3), table=ns(s_tbl),
+        mask=ns(s_depth3), rlk=ns(s_rep3), out=ns(s_out),
+    )
+    fn = jax.jit(
+        shard_map(
+            step_local,
+            mesh=mesh,
+            in_specs=(s_pos5, s_rep3, s_tbl, s_depth3, s_rep3, s_rep3),
+            out_specs=s_out,
+        )
+    )
+    return fn, sh
+
+
 def sp_result_form_scale(ctx: BGVContext, n_hash: int) -> tuple[str, int]:
     """(form, scale) of sp_sharded_pie_step's result ciphertext, matching
     batched_pie_forward's host-side tracking (BFV operands multiply via HPS,
@@ -204,7 +300,11 @@ def sp_result_form_scale(ctx: BGVContext, n_hash: int) -> tuple[str, int]:
 
 
 def sharded_pie_step(
-    ctx: BGVContext, mesh: Mesh, leveled: bool = False, n_hash: int | None = None
+    ctx: BGVContext,
+    mesh: Mesh,
+    leveled: bool = False,
+    n_hash: int | None = None,
+    pos_chunk: int | None = None,
 ):
     """Returns (jitted_fn, shardings): the full online PIE step jitted over
     the mesh with input/output shardings applied.
@@ -223,7 +323,7 @@ def sharded_pie_step(
     def step(idx, minus, table, mask, rlk_b, rlk_a):
         return batched_pie_forward(
             ctx, RelinKey(b_mont=rlk_b, a_mont=rlk_a), idx, minus, table, mask,
-            leveled=leveled,
+            leveled=leveled, pos_chunk=pos_chunk,
         ).data
 
     fn = jax.jit(

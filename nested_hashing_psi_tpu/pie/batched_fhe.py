@@ -58,6 +58,7 @@ def batched_pie_forward(
     mask_pt: jnp.ndarray,     # (D, L, N) per-depth masks (Montgomery)
     use_kernel: bool = False,
     leveled: bool = False,
+    pos_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Depth-vectorized batched-PIE online step: used for the compile-check
     entry point, device-mesh sharding (depths = DP, limbs = TP; jnp path --
@@ -71,7 +72,9 @@ def batched_pie_forward(
     multiplication, so the expensive tensor products and relinearizations run
     at a shrinking limb count and the result ships with L - (H-1) limbs.
     """
-    ip = position_sum(ctx, idx_data, table_pt, use_kernel=use_kernel)
+    ip = position_sum(
+        ctx, idx_data, table_pt, use_kernel=use_kernel, pos_chunk=pos_chunk
+    )
     return combine_ip(ctx, rlk, ip, minus_data, mask_pt, leveled=leveled)
 
 
@@ -80,17 +83,40 @@ def position_sum(
     idx_data: jnp.ndarray,   # (H, Pc, 2, L, N) index-ciphertext slice
     table_pt: jnp.ndarray,   # (H, D, Pc, L, N) matching table slice
     use_kernel: bool = False,
+    pos_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Per-(hash, depth) position-summed ct x pt products: (H, D, 2, L, N).
-    Additive over position slices -- the unit of the streamed online path."""
+    Additive over position slices -- the unit of the streamed online path.
+
+    The jnp form materializes the (H, D, P, 2, L, N) product tensor before
+    reducing -- tens of GB at the 2^24 geometry (D~P~48, L=9, ring 16384).
+    ``pos_chunk`` bounds it: a lax.fori_loop accumulates ``pos_chunk``-wide
+    position slices, so peak memory is the accumulator plus one slice. The
+    Pallas kernel needs no chunking (its accumulator lives in VMEM)."""
     if use_kernel:
         from nested_hashing_psi_tpu.ops.pie_kernels import indexed_inner_product
 
         return indexed_inner_product(idx_data, table_pt, ctx.p, ctx.pinv)
-    prod = mont_mul(
-        idx_data[:, None], table_pt[..., None, :, :], ctx.p, ctx.pinv
-    )  # (H, D, P, 2, L, N)
-    return modsum(prod, ctx.p, axis=2)            # (H, D, 2, L, N)
+    P = idx_data.shape[1]
+    if pos_chunk is None or pos_chunk >= P:
+        prod = mont_mul(
+            idx_data[:, None], table_pt[..., None, :, :], ctx.p, ctx.pinv
+        )  # (H, D, P, 2, L, N)
+        return modsum(prod, ctx.p, axis=2)        # (H, D, 2, L, N)
+    assert P % pos_chunk == 0, (P, pos_chunk)
+
+    def body(c, acc):
+        p0 = c * pos_chunk
+        idx_c = jax.lax.dynamic_slice_in_dim(idx_data, p0, pos_chunk, axis=1)
+        tbl_c = jax.lax.dynamic_slice_in_dim(table_pt, p0, pos_chunk, axis=2)
+        prod = mont_mul(idx_c[:, None], tbl_c[..., None, :, :], ctx.p, ctx.pinv)
+        return add_mod(acc, modsum(prod, ctx.p, axis=2), ctx.p)
+
+    H, D = table_pt.shape[0], table_pt.shape[1]
+    acc0 = jnp.zeros(
+        (H, D) + idx_data.shape[2:], jnp.uint32
+    )  # (H, D, 2, L, N)
+    return jax.lax.fori_loop(0, P // pos_chunk, body, acc0)
 
 
 def combine_ip(

@@ -209,3 +209,138 @@ def test_sharded_pie_ring16384_shapes():
         jax.device_put(rlk.a_mont, sp_sh["rlk"]),
     )
     np.testing.assert_array_equal(np.asarray(sp_out), expected)
+
+
+@pytest.mark.parametrize("scheme", ["bgv", "bfv"])
+def test_pp_pipelined_pie_matches_unsharded(scheme):
+    """Cross-chip pipeline parallelism (SURVEY 2.3 PP): position-sharded
+    table, depth chunks pipelined around the ring (accumulator ppermute
+    overlapped with the next chunk's ct x pt) -- bit-exact vs the unsharded
+    forward."""
+    from jax.sharding import Mesh
+    from nested_hashing_psi_tpu.fhe.bfv import make_context
+    from nested_hashing_psi_tpu.parallel.mesh import pp_pipelined_pie_step
+    from nested_hashing_psi_tpu.pie.batched_fhe import (
+        BatchedFHEClientOps,
+        BatchedFHEPIE,
+    )
+
+    hasher = TabulationHashing(88, 4)
+    hct = HierarchicalCuckooHashTable(
+        hasher, each_simple_table_size=16, each_cuckoo_table_size=8,
+        n_simple_hash_functions=2, n_cuckoo_hash_functions=2,
+        max_items_per_position=8, seed=21,
+    )
+    hct.insert_all(items_from_ints(list(range(700, 850))))
+    ctx = make_context(
+        SchemeParams(
+            ring_dim=64, plaintext_modulus=65537, num_limbs=8, scheme=scheme
+        ),
+        seed=22,
+    )
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=23)
+    ct_table = CuckooHashTable(hasher, 16, 2, max_items_per_position=1, seed=24)
+    ct_table.insert_all(items_from_ints([705, 9999]))
+    ops = BatchedFHEClientOps(ctx, ct_table, 2, 2, 8)
+    idx, minus = ops.encrypt_query(sk)
+
+    expected = np.asarray(pie.run(idx, minus).data)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("pp",))
+    fn, sh = pp_pipelined_pie_step(ctx, mesh)
+    out = fn(
+        jax.device_put(idx.data, sh["idx"]),
+        jax.device_put(minus.data, sh["minus"]),
+        jax.device_put(pie.table_pt, sh["table"]),
+        jax.device_put(pie.mask_pt, sh["mask"]),
+        jax.device_put(rlk.b_mont, sh["rlk"]),
+        jax.device_put(rlk.a_mont, sh["rlk"]),
+    )
+    np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+def test_position_sum_chunked_matches_unchunked():
+    """pos_chunk bounds the (H, D, P, 2, L, N) intermediate; fori-loop
+    accumulation must be bit-exact vs the one-shot product tensor."""
+    from nested_hashing_psi_tpu.fhe.bgv import BGVContext
+    from nested_hashing_psi_tpu.fhe.params import SchemeParams
+    from nested_hashing_psi_tpu.pie.batched_fhe import position_sum
+
+    ctx = BGVContext(
+        SchemeParams(ring_dim=64, plaintext_modulus=65537, num_limbs=6), seed=3
+    )
+    rng = np.random.default_rng(0)
+    pmin = int(min(ctx.q_primes))
+    idx = jnp.asarray(
+        rng.integers(0, pmin, size=(2, 12, 2, 6, 64), dtype=np.int64), jnp.uint32
+    )
+    tbl = jnp.asarray(
+        rng.integers(0, pmin, size=(2, 5, 12, 6, 64), dtype=np.int64), jnp.uint32
+    )
+    expected = np.asarray(position_sum(ctx, idx, tbl))
+    for chunk in (1, 3, 4, 6):
+        got = np.asarray(position_sum(ctx, idx, tbl, pos_chunk=chunk))
+        np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.slow
+def test_sharded_pie_production_geometry_memory_bounded():
+    """VERDICT round-2 task #5: the 2^24-geometry shapes (D=48, P=48, L=9,
+    ring 16384) through the dp x tp mesh path with a memory-bounded position
+    sum. The naive jnp product tensor at these shapes is (2,48,48,2,9,16384)
+    uint32 = ~49 GB; pos_chunk=4 caps the live slice at ~4 GB total process
+    footprint. Bit-exact vs the (equally chunked) unsharded forward, with a
+    peak-RSS assertion that excludes the naive intermediate."""
+    import resource
+
+    from nested_hashing_psi_tpu.fhe.bgv import BGVContext, RelinKey
+    from nested_hashing_psi_tpu.fhe.params import SchemeParams
+    from nested_hashing_psi_tpu.pie.batched_fhe import batched_pie_forward
+
+    H, D, P, L, N = 2, 48, 48, 9, 16384
+    ctx = BGVContext(
+        SchemeParams(ring_dim=N, plaintext_modulus=65537, num_limbs=L), seed=7
+    )
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    rng = np.random.default_rng(1)
+    pmin = int(min(ctx.q_primes))
+
+    def r(shape):
+        return jnp.asarray(
+            rng.integers(0, pmin, size=shape, dtype=np.int64), jnp.uint32
+        )
+
+    idx, minus = r((H, P, 2, L, N)), r((2, L, N))
+    table, mask = r((H, D, P, L, N)), r((D, L, N))
+
+    expected = np.asarray(
+        jax.jit(
+            lambda i, m, tbl, msk, rb, ra: batched_pie_forward(
+                ctx, RelinKey(b_mont=rb, a_mont=ra), i, m, tbl, msk,
+                pos_chunk=4,
+            ).data
+        )(idx, minus, table, mask, rlk.b_mont, rlk.a_mont)
+    )
+
+    # L=9 does not split over tp=2; shard the 48 depths only (dp=8)
+    mesh = make_mesh(8, tp=1)
+    fn, sh = sharded_pie_step(ctx, mesh, pos_chunk=4)
+    out = np.asarray(
+        fn(
+            jax.device_put(idx, sh["idx"]),
+            jax.device_put(minus, sh["minus"]),
+            jax.device_put(table, sh["table"]),
+            jax.device_put(mask, sh["mask"]),
+            jax.device_put(rlk.b_mont, sh["rlk"]),
+            jax.device_put(rlk.a_mont, sh["rlk"]),
+        )
+    )
+    np.testing.assert_array_equal(out, expected)
+
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    assert peak_gb < 20, (
+        f"peak RSS {peak_gb:.1f} GB: position-sum intermediate not bounded"
+    )
