@@ -29,9 +29,15 @@ def main():
     ap.add_argument("--rows", default="0:6", help="row slice start:stop")
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--bitSize", type=int, default=16)
-    ap.add_argument("--fhe", action="store_true", default=True)
-    ap.add_argument("--batched", action="store_true", default=True)
+    ap.add_argument(
+        "--protocol",
+        choices=["batched", "simple", "elgamal", "precomp"],
+        default="batched",
+        help="batched/simple FHE or simple/precomp ElGamal "
+        "(the reference's -F/--batched/--precomp dispatch)",
+    )
     ap.add_argument("--bgv", action="store_true")
+    ap.add_argument("--curve", default="P-256")
     ap.add_argument("--outdir", default="eval_results")
     args = ap.parse_args()
 
@@ -50,9 +56,11 @@ def main():
             client_set_size=int(row["clientSetSize"]),
             intersection_set_size=int(row["intersectionSetSize"]),
             bit_size=args.bitSize,
-            fhe=args.fhe,
-            batched=args.batched,
+            fhe=args.protocol in ("batched", "simple"),
+            batched=args.protocol == "batched",
+            precomp=args.protocol == "precomp",
             bgv=args.bgv,
+            curve_name=args.curve,
             export_performance=True,
         )
         ht = HashTableParams(
@@ -62,7 +70,7 @@ def main():
             n_cuckoo_hash_functions=2,
             max_items_per_position=int(row["maxPP"]),
         )
-        if ht.batch_slots > psi.ring_dim:
+        if args.protocol == "batched" and ht.batch_slots > psi.ring_dim:
             print(f"skip row (batch {ht.batch_slots} > ring {psi.ring_dim}): {row}")
             continue
         print(f"run {dict(row)} x{args.runs}")

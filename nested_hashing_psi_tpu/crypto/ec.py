@@ -70,8 +70,14 @@ class EcGroup:
         self.p, a, self.b, gx, gy, self.order = CURVES[name]
         self.a = a % self.p
         self.g = (gx, gy)
+        # native batch backend (native/nhpsi_ec.cpp): same group law, same
+        # affine results, ~50x a Python bigint scalar mult; None -> pure
+        # Python (P-384/521 exceed the 4x64-limb field and stay Python)
+        from nested_hashing_psi_tpu.utils import native_ec
+
+        self._native = native_ec.for_curve(self.p, self.a)
         # fixed-base window table: g^(j * 16^i) for j in [0,16)
-        self._g_table = self._build_fixed_base_table(self.g)
+        self._g_table = None if self._native else self._build_fixed_base_table(self.g)
 
     # -- Jacobian arithmetic ------------------------------------------------
     def _jac_double(self, P):
@@ -180,8 +186,17 @@ class EcGroup:
         k %= self.order
         if k == 0 or A is None:
             return None
+        if self._native:
+            return self._native.mul_batch([A], [k], shared=True)[0]
         tbl = self._odd_table(self._to_jac(A), 5)
         return self._from_jac(self._wnaf_mul(tbl, k, 5))
+
+    def mul_batch(self, points, scalars):
+        """[k_i * A_i] pairwise, one native call when available."""
+        ks = [k % self.order for k in scalars]
+        if self._native:
+            return self._native.mul_batch(points, ks, shared=False)
+        return [self.mul(A, k) for A, k in zip(points, ks)]
 
     def _wnaf_mul(self, odd_tbl, k: int, w: int):
         R = None
@@ -199,12 +214,14 @@ class EcGroup:
         exponentiateWithPreComputedValues, AddHomElGamalEnc.hpp usage)."""
         if A is None:
             return [None] * len(scalars)
+        ks = [k % self.order for k in scalars]
+        if self._native:
+            return self._native.mul_batch([A], ks, shared=True)
         tbl = self._odd_table(self._to_jac(A), 5)
-        out = []
-        for k in scalars:
-            k %= self.order
-            out.append(None if k == 0 else self._from_jac(self._wnaf_mul(tbl, k, 5)))
-        return out
+        return [
+            None if k == 0 else self._from_jac(self._wnaf_mul(tbl, k, 5))
+            for k in ks
+        ]
 
     def _build_fixed_base_table(self, base):
         nwin = (self.order.bit_length() + 3) // 4
@@ -226,6 +243,8 @@ class EcGroup:
         k %= self.order
         if k == 0:
             return None
+        if self._native:
+            return self._native.mul_batch([self.g], [k], shared=True)[0]
         R = None
         i = 0
         while k:
@@ -236,10 +255,22 @@ class EcGroup:
             i += 1
         return self._from_jac(R)
 
+    def mul_gen_batch(self, scalars):
+        """[k*G for k in scalars], one native call when available."""
+        ks = [k % self.order for k in scalars]
+        if self._native:
+            return self._native.mul_batch([self.g], ks, shared=True)
+        return [self.mul_gen(k) for k in ks]
+
     def multi_mul(self, points, scalars):
         """Simultaneous multi-exponentiation: sum_i scalars[i]*points[i]
         (interleaved width-4 wNAF: shared doubles, ~n/5 adds per point;
         replaces libscapi simultaneousMultipleExponentiations)."""
+        if self._native:
+            k = len(points)
+            return self._native.multi_mul_groups(
+                list(points), [s % self.order for s in scalars], 1, k
+            )[0]
         w = 4
         pairs = [
             (self._odd_table(self._to_jac(P), w), self._wnaf(s % self.order, w))
@@ -259,6 +290,29 @@ class EcGroup:
                 elif d < 0:
                     R = self._jac_add(R, self._jac_neg(tbl[(-d - 1) // 2]))
         return self._from_jac(R)
+
+    def multi_mul_groups(self, points, scalars, n_groups: int, k: int):
+        """n_groups simultaneous multi-exps of k pairs each (flat inputs of
+        length n_groups*k); one native call when available."""
+        ks = [s % self.order for s in scalars]
+        if self._native:
+            return self._native.multi_mul_groups(list(points), ks, n_groups, k)
+        return [
+            self.multi_mul(points[g * k : (g + 1) * k], ks[g * k : (g + 1) * k])
+            for g in range(n_groups)
+        ]
+
+    def sum_groups(self, points, n_groups: int, k: int):
+        """n_groups sums of k points each (flat input)."""
+        if self._native:
+            return self._native.sum_groups(list(points), n_groups, k)
+        out = []
+        for g in range(n_groups):
+            acc = None
+            for pt in points[g * k : (g + 1) * k]:
+                acc = self.add(acc, pt)
+            out.append(acc)
+        return out
 
     # -- serialization ------------------------------------------------------
     @property

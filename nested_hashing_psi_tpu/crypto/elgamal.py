@@ -54,6 +54,64 @@ class AddHomElGamal:
         r = self._rand.randrange(1, self.group.order)
         return ElGamalCiphertext(self.group.mul_gen(r), self.group.mul(self.pk, r))
 
+    # -- batched entry points (amortize the native backend across protocol
+    #    loops; every one falls back to the scalar form automatically) ------
+    def _has_batch(self) -> bool:
+        return hasattr(self.group, "mul_gen_batch")
+
+    def encrypt_batch(self, msgs) -> list[ElGamalCiphertext]:
+        """[Enc(m) for m in msgs] -- three native batch calls total instead
+        of 3*len(msgs) scalar multiplications in Python."""
+        if not self._has_batch():
+            return [self.encrypt(m) for m in msgs]
+        g = self.group
+        rs = [self._rand.randrange(1, g.order) for _ in msgs]
+        c1s = g.mul_gen_batch(rs)
+        hr = g.mul_many(self.pk, rs)
+        gm = g.mul_gen_batch(list(msgs))
+        pairs = [pt for ab in zip(hr, gm) for pt in ab]
+        c2s = g.sum_groups(pairs, len(msgs), 2)
+        return [ElGamalCiphertext(a, b) for a, b in zip(c1s, c2s)]
+
+    def encrypt_zero_batch(self, count: int) -> list[ElGamalCiphertext]:
+        if not self._has_batch():
+            return [self.encrypt_zero() for _ in range(count)]
+        g = self.group
+        rs = [self._rand.randrange(1, g.order) for _ in range(count)]
+        c1s = g.mul_gen_batch(rs)
+        c2s = g.mul_many(self.pk, rs)
+        return [ElGamalCiphertext(a, b) for a, b in zip(c1s, c2s)]
+
+    def randomized_equality_batch(
+        self, minus_elem, others, enc_zeros
+    ) -> list[ElGamalCiphertext]:
+        """[r_i * (minus_elem + others[i] + enc_zeros[i])] with fresh r_i --
+        the batched form of randomized_equality for one PIE's result list."""
+        if not self._has_batch():
+            return [
+                self.randomized_equality(minus_elem, o, z)
+                for o, z in zip(others, enc_zeros)
+            ]
+        g = self.group
+        n = len(others)
+        tri1, tri2 = [], []
+        for o, z in zip(others, enc_zeros):
+            tri1 += [minus_elem.c1, o.c1, z.c1]
+            tri2 += [minus_elem.c2, o.c2, z.c2]
+        t1 = g.sum_groups(tri1, n, 3)
+        t2 = g.sum_groups(tri2, n, 3)
+        rs = [self._rand.randrange(1, g.order) for _ in range(n)]
+        out1 = g.mul_batch(t1, rs)
+        out2 = g.mul_batch(t2, rs)
+        return [ElGamalCiphertext(a, b) for a, b in zip(out1, out2)]
+
+    def decrypts_to_zero_batch(self, cts) -> list[bool]:
+        assert self.sk is not None, "private key not set"
+        if not self._has_batch():
+            return [self.decrypts_to_zero(c) for c in cts]
+        xs = self.group.mul_batch([c.c1 for c in cts], [self.sk] * len(cts))
+        return [c.c2 == x for c, x in zip(cts, xs)]
+
     # -- homomorphic ops ----------------------------------------------------
     def add(self, a: ElGamalCiphertext, b: ElGamalCiphertext) -> ElGamalCiphertext:
         g = self.group

@@ -46,7 +46,7 @@ class ElGamalPIE:
         self._rand = rng or secrets.SystemRandom()
         self.perm = list(range(self.n_results))
         self._rand.shuffle(self.perm)
-        self.enc_zeros = [enc.encrypt_zero() for _ in range(self.n_results)]
+        self.enc_zeros = enc.encrypt_zero_batch(self.n_results)
         self.precalc_random = precalc_random
         if precalc_random:
             if not multi_table:
@@ -69,6 +69,19 @@ class ElGamalPIE:
 
     def run(self) -> list[ElGamalCiphertext]:
         results: list[ElGamalCiphertext | None] = [None] * self.n_results
+        if self.enc._has_batch():
+            self._run_batched(results)
+        else:
+            self._run_scalar(results)
+        ri = self.bins * self.H
+        for s in self.stash:
+            results[self.perm[ri]] = self.enc.randomized_equality(
+                self.minus_elem, s, self.enc_zeros[ri]
+            )
+            ri += 1
+        return results
+
+    def _run_scalar(self, results) -> None:
         ri = 0
         for h in range(self.H):
             for b in range(self.bins):
@@ -89,12 +102,49 @@ class ElGamalPIE:
                     )
                 results[self.perm[ri]] = res
                 ri += 1
-        for s in self.stash:
-            results[self.perm[ri]] = self.enc.randomized_equality(
-                self.minus_elem, s, self.enc_zeros[ri]
-            )
-            ri += 1
-        return results
+
+    def _run_batched(self, results) -> None:
+        """All (hash fn, bin) equality checks through the native batch
+        entry points: H*B grouped multi-exponentiations per ciphertext
+        component, then one batched randomized-equality pass (or, on the
+        precalc path, the fused multi-exp including mask and Enc(0))."""
+        g = self.enc.group
+        n = self.H * self.bins
+        if self.precalc_random:
+            pts1, pts2, scalars = [], [], []
+            ri = 0
+            for h in range(self.H):
+                idx = self.index_matrix[h]
+                for b in range(self.bins):
+                    cts = list(idx) + [self.minus_elem, self.enc_zeros[ri]]
+                    pts1 += [c.c1 for c in cts]
+                    pts2 += [c.c2 for c in cts]
+                    scalars += list(self.table[self._tbl(h)][b]) + [
+                        self.randomness[h][b], 1,
+                    ]
+                    ri += 1
+            k = len(self.index_matrix[0]) + 2
+            out1 = g.multi_mul_groups(pts1, scalars, n, k)
+            out2 = g.multi_mul_groups(pts2, scalars, n, k)
+            for ri in range(n):
+                results[self.perm[ri]] = ElGamalCiphertext(out1[ri], out2[ri])
+            return
+        pts1, pts2, scalars = [], [], []
+        for h in range(self.H):
+            idx = self.index_matrix[h]
+            for b in range(self.bins):
+                pts1 += [c.c1 for c in idx]
+                pts2 += [c.c2 for c in idx]
+                scalars += list(self.table[self._tbl(h)][b])
+        k = len(self.index_matrix[0])
+        ip1 = g.multi_mul_groups(pts1, scalars, n, k)
+        ip2 = g.multi_mul_groups(pts2, scalars, n, k)
+        ips = [ElGamalCiphertext(a, b) for a, b in zip(ip1, ip2)]
+        res = self.enc.randomized_equality_batch(
+            self.minus_elem, ips, self.enc_zeros[:n]
+        )
+        for ri in range(n):
+            results[self.perm[ri]] = res[ri]
 
 
 class PrecompElGamalPIE:
@@ -122,7 +172,7 @@ class PrecompElGamalPIE:
         self._rand = rng or secrets.SystemRandom()
         self.perm = list(range(self.n_results))
         self._rand.shuffle(self.perm)
-        self.enc_zeros = [enc.encrypt_zero() for _ in range(self.n_results)]
+        self.enc_zeros = enc.encrypt_zero_batch(self.n_results)
         self.index_matrix: list[list[ElGamalCiphertext]] | None = None
         self.minus_elem: ElGamalCiphertext | None = None
 
@@ -144,9 +194,20 @@ class PrecompElGamalPIE:
                 # bin exponents (reference exponentiateWithPreComputedValues)
                 items = [self.table[self._tbl(h)][b][j] for b in range(self.bins)]
                 cts = self.enc.mult_by_const_many(self.index_matrix[h][j], items)
-                for b in range(self.bins):
-                    em[b][j] = cts[b]
-                    nm[b][j] = self.enc.element_xor_by_const(cts[b], items[b])
+                if self.enc._has_batch():
+                    # xor-complements via batched g^item and pair sums
+                    g = self.enc.group
+                    gitems = g.mul_gen_batch(items)
+                    neg2 = [g.neg(c.c2) for c in cts]
+                    pairs = [pt for ab in zip(neg2, gitems) for pt in ab]
+                    sums = g.sum_groups(pairs, self.bins, 2)
+                    for b in range(self.bins):
+                        em[b][j] = cts[b]
+                        nm[b][j] = ElGamalCiphertext(g.neg(cts[b].c1), sums[b])
+                else:
+                    for b in range(self.bins):
+                        em[b][j] = cts[b]
+                        nm[b][j] = self.enc.element_xor_by_const(cts[b], items[b])
             self.enc_matrix.append(em)
             self.neg_matrix.append(nm)
 
@@ -155,18 +216,42 @@ class PrecompElGamalPIE:
         then randomized equality. xor_bits: (H * positions,) 0/1."""
         results: list[ElGamalCiphertext | None] = [None] * self.n_results
         ri = 0
-        for h in range(self.H):
-            bits = xor_bits[h * self.positions : (h + 1) * self.positions]
-            for b in range(self.bins):
-                acc = None
-                for j in range(self.positions):
-                    src = self.neg_matrix if bits[j] else self.enc_matrix
-                    ct = src[h][b][j]
-                    acc = ct if acc is None else self.enc.add(acc, ct)
-                results[self.perm[ri]] = self.enc.randomized_equality(
-                    self.minus_elem, acc, self.enc_zeros[ri]
-                )
-                ri += 1
+        if self.enc._has_batch():
+            # one native call sums every bin's selected ciphertexts; one
+            # batched randomized-equality pass masks them
+            g = self.enc.group
+            n = self.H * self.bins
+            c1s, c2s = [], []
+            for h in range(self.H):
+                bits = xor_bits[h * self.positions : (h + 1) * self.positions]
+                for b in range(self.bins):
+                    for j in range(self.positions):
+                        src = self.neg_matrix if bits[j] else self.enc_matrix
+                        ct = src[h][b][j]
+                        c1s.append(ct.c1)
+                        c2s.append(ct.c2)
+            acc1 = g.sum_groups(c1s, n, self.positions)
+            acc2 = g.sum_groups(c2s, n, self.positions)
+            accs = [ElGamalCiphertext(a, b) for a, b in zip(acc1, acc2)]
+            res = self.enc.randomized_equality_batch(
+                self.minus_elem, accs, self.enc_zeros[:n]
+            )
+            for ri in range(n):
+                results[self.perm[ri]] = res[ri]
+            ri = n
+        else:
+            for h in range(self.H):
+                bits = xor_bits[h * self.positions : (h + 1) * self.positions]
+                for b in range(self.bins):
+                    acc = None
+                    for j in range(self.positions):
+                        src = self.neg_matrix if bits[j] else self.enc_matrix
+                        ct = src[h][b][j]
+                        acc = ct if acc is None else self.enc.add(acc, ct)
+                    results[self.perm[ri]] = self.enc.randomized_equality(
+                        self.minus_elem, acc, self.enc_zeros[ri]
+                    )
+                    ri += 1
         for s in self.stash:
             results[self.perm[ri]] = self.enc.randomized_equality(
                 self.minus_elem, s, self.enc_zeros[ri]

@@ -68,11 +68,11 @@ class _ElGamalClientBase(PSIClientBase):
         return self.client_table.table[:, 0, :, :].reshape(-1, 2)
 
     def _encrypt_minus_elements(self) -> list[ElGamalCiphertext]:
-        out = []
+        msgs = []
         for item in self._slot_items():
             v = _item_int(item)
-            out.append(self.enc.encrypt(-v) if v != 0 else self.enc.encrypt(1))
-        return out
+            msgs.append(-v if v != 0 else 1)
+        return self.enc.encrypt_batch(msgs)
 
     def _one_hot_positions(self, item) -> list[int]:
         """Inner-hash index per cuckoo hf (dummy uses element 0, like the
@@ -106,7 +106,7 @@ class _ElGamalClientBase(PSIClientBase):
             v = _item_int(item)
             if v == 0:
                 continue
-            if any(self.enc.decrypts_to_zero(c) for c in cts):
+            if any(self.enc.decrypts_to_zero_batch(cts)):
                 found_items.append((int(item[0]), int(item[1])))
         self.intersection_calculated = np.array(
             found_items, dtype=np.uint64
@@ -167,18 +167,20 @@ class SimpleElGamalPSIClient(_ElGamalClientBase):
         ht = self.ht
         self.client_table.insert_all(self.client_set)
         self.minus_cts = self._encrypt_minus_elements()
-        self.index_matrices = []
+        H, P = ht.n_cuckoo_hash_functions, ht.each_cuckoo_table_size
+        msgs = []
         for item in self._slot_items():
             pos = self._one_hot_positions(item)
-            mats = []
-            for h in range(ht.n_cuckoo_hash_functions):
-                mats.append(
-                    [
-                        self.enc.encrypt(1 if j == pos[h] else 0)
-                        for j in range(ht.each_cuckoo_table_size)
-                    ]
-                )
-            self.index_matrices.append(mats)
+            for h in range(H):
+                msgs += [1 if j == pos[h] else 0 for j in range(P)]
+        cts = self.enc.encrypt_batch(msgs)  # one batch for every one-hot bit
+        self.index_matrices = [
+            [
+                cts[(i * H + h) * P : (i * H + h + 1) * P]
+                for h in range(H)
+            ]
+            for i in range(len(self._slot_items()))
+        ]
 
     def run_online_phase(self) -> None:
         for mats, minus in zip(self.index_matrices, self.minus_cts):
@@ -260,8 +262,11 @@ class PrecompElGamalPSIClient(_ElGamalClientBase):
             .reshape(n_pos, bits_per_pos)
             .astype(np.uint8)
         )
+        all_cts = self.enc.encrypt_batch(
+            [int(b) for b in self.random_bits.reshape(-1)]
+        )
         for pos in range(n_pos):
-            self._send_cts([self.enc.encrypt(int(b)) for b in self.random_bits[pos]])
+            self._send_cts(all_cts[pos * bits_per_pos : (pos + 1) * bits_per_pos])
 
     def run_offline_phase(self) -> None:
         self.client_table.insert_all(self.client_set)

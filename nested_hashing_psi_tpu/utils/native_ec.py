@@ -1,0 +1,171 @@
+"""ctypes loader + converters for the native EC backend (native/nhpsi_ec.cpp).
+
+Pure-Python fallback lives in crypto/ec.py; a missing toolchain degrades
+performance, not capability. All batch calls take/return affine points as
+(x, y) int tuples or None (infinity), matching EcGroup's representation
+exactly -- the native backend implements the same group law, so results are
+identical point-for-point.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "native", "nhpsi_ec.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "build", "libnhpsi_ec.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                os.makedirs(os.path.dirname(_SO), exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.ec_mul_batch.restype = ctypes.c_int
+            lib.ec_mul_batch.argtypes = [
+                _U64P, _U64P, ctypes.c_int, _U64P, _U8P, _U64P,
+                ctypes.c_int64, _U64P, _U8P,
+            ]
+            lib.ec_multi_mul_batch.restype = ctypes.c_int
+            lib.ec_multi_mul_batch.argtypes = [
+                _U64P, _U64P, ctypes.c_int64, ctypes.c_int64, _U64P, _U8P,
+                _U64P, _U64P, _U8P,
+            ]
+            lib.ec_sum_batch.restype = ctypes.c_int
+            lib.ec_sum_batch.argtypes = [
+                _U64P, _U64P, ctypes.c_int64, ctypes.c_int64, _U64P, _U8P,
+                _U64P, _U8P,
+            ]
+            _lib = lib
+        except (OSError, subprocess.CalledProcessError):
+            _lib = None
+        return _lib
+
+
+def _p(a: np.ndarray):
+    return a.ctypes.data_as(_U64P)
+
+
+def _p8(a: np.ndarray):
+    return a.ctypes.data_as(_U8P)
+
+
+def _int_limbs(v: int) -> np.ndarray:
+    return np.frombuffer(int(v).to_bytes(32, "little"), dtype=np.uint64).copy()
+
+
+def _points_to_arrays(points) -> tuple[np.ndarray, np.ndarray]:
+    n = len(points)
+    xy = np.zeros((n, 8), np.uint64)
+    inf = np.zeros(n, np.uint8)
+    for i, pt in enumerate(points):
+        if pt is None:
+            inf[i] = 1
+        else:
+            xy[i, :4] = _int_limbs(pt[0])
+            xy[i, 4:] = _int_limbs(pt[1])
+    return xy, inf
+
+
+def _scalars_to_array(scalars) -> np.ndarray:
+    n = len(scalars)
+    out = np.zeros((n, 4), np.uint64)
+    for i, s in enumerate(scalars):
+        out[i] = _int_limbs(s)
+    return out
+
+
+def _arrays_to_points(xy: np.ndarray, inf: np.ndarray) -> list:
+    out = []
+    for i in range(len(inf)):
+        if inf[i]:
+            out.append(None)
+        else:
+            b = xy[i].tobytes()
+            out.append(
+                (int.from_bytes(b[:32], "little"), int.from_bytes(b[32:], "little"))
+            )
+    return out
+
+
+class NativeEc:
+    """Per-curve handle (caches the p/a limb arrays)."""
+
+    def __init__(self, p: int, a: int):
+        self.p_arr = _int_limbs(p)
+        self.a_arr = _int_limbs(a % p)
+
+    def mul_batch(self, bases, scalars, shared: bool) -> list:
+        """[k*B] for (B, k) pairs; shared=True uses bases[0] for all with one
+        shared window table. Scalars must be reduced mod the group order."""
+        lib = get_lib()
+        assert lib is not None
+        n = len(scalars)
+        bxy, binf = _points_to_arrays(bases if not shared else bases[:1])
+        s = _scalars_to_array(scalars)
+        oxy = np.zeros((n, 8), np.uint64)
+        oinf = np.zeros(n, np.uint8)
+        lib.ec_mul_batch(
+            _p(self.p_arr), _p(self.a_arr), 1 if shared else 0,
+            _p(bxy), _p8(binf), _p(s), n, _p(oxy), _p8(oinf),
+        )
+        return _arrays_to_points(oxy, oinf)
+
+    def multi_mul_groups(self, points, scalars, n_groups: int, k: int) -> list:
+        """n_groups simultaneous multi-exps of k (point, scalar) pairs each
+        (flat lists of length n_groups*k)."""
+        lib = get_lib()
+        assert lib is not None
+        pxy, pinf = _points_to_arrays(points)
+        s = _scalars_to_array(scalars)
+        oxy = np.zeros((n_groups, 8), np.uint64)
+        oinf = np.zeros(n_groups, np.uint8)
+        lib.ec_multi_mul_batch(
+            _p(self.p_arr), _p(self.a_arr), n_groups, k,
+            _p(pxy), _p8(pinf), _p(s), _p(oxy), _p8(oinf),
+        )
+        return _arrays_to_points(oxy, oinf)
+
+    def sum_groups(self, points, n_groups: int, k: int) -> list:
+        """n_groups sums of k points each (flat list of length n_groups*k)."""
+        lib = get_lib()
+        assert lib is not None
+        pxy, pinf = _points_to_arrays(points)
+        oxy = np.zeros((n_groups, 8), np.uint64)
+        oinf = np.zeros(n_groups, np.uint8)
+        lib.ec_sum_batch(
+            _p(self.p_arr), _p(self.a_arr), n_groups, k,
+            _p(pxy), _p8(pinf), _p(oxy), _p8(oinf),
+        )
+        return _arrays_to_points(oxy, oinf)
+
+
+def for_curve(p: int, a: int) -> NativeEc | None:
+    """Native handle for an odd prime field p < 2^256, or None."""
+    if p.bit_length() > 256 or p % 2 == 0 or get_lib() is None:
+        return None
+    return NativeEc(p, a)
