@@ -48,7 +48,12 @@ def _rate(fn, x, unit_count, target_s=2.0):
 
 
 def main():
-    tiles = [int(a) for a in sys.argv[1:]] or [8]
+    """argv: tile_b[:fuse] ... (e.g. `8 8:4 4:4 2:7`); default 8:4."""
+    specs = []
+    for a in sys.argv[1:]:
+        tb, _, fz = a.partition(":")
+        specs.append((int(tb), int(fz) if fz else 4))
+    specs = specs or [(8, 4)]
     ps = primes.ntt_primes(LIMBS, 31, 2 * N)
     sp = SplitNTTPlan(N, ps)
     rng = np.random.default_rng(0)
@@ -56,12 +61,15 @@ def main():
         rng.integers(0, min(ps), size=(HBM_BATCH, LIMBS, N), dtype=np.uint64),
         jnp.uint32,
     )
-    for tb in tiles:
-        fwd = lambda a: ntt_pallas(a, sp, tile_b=tb)
-        inv = lambda a: intt_pallas(a, sp, tile_b=tb)
+    for tb, fz in specs:
+        fwd = lambda a: ntt_pallas(a, sp, tile_b=tb, fuse=fz)
+        inv = lambda a: intt_pallas(a, sp, tile_b=tb, fuse=fz)
         r_f = _rate(fwd, x, HBM_BATCH * LIMBS)
         r_i = _rate(inv, x, HBM_BATCH * LIMBS)
-        print(f"tile_b={tb}: fwd {r_f:,.0f} limb-NTT/s   inv {r_i:,.0f}", flush=True)
+        print(
+            f"tile_b={tb} fuse={fz}: fwd {r_f:,.0f} limb-NTT/s   inv {r_i:,.0f}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

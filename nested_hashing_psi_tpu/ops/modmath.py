@@ -41,6 +41,16 @@ def mulhi_u32(a, b):
     return hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
 
 
+def _csub(x, p):
+    """[x]_p for x < 2p: compare + subtract + select.
+
+    (An unsigned-min formulation -- min(x, x - p) with wraparound -- would
+    be 2 ops, but Mosaic cannot legalize vector arith.minui on TPU, and the
+    NTT kernel is VMEM-bandwidth-bound, not op-bound, so the select form
+    costs nothing measurable there.)"""
+    return jnp.where(x >= p, x - p, x)
+
+
 def mont_mul(a, b, p, pinv):
     """Montgomery product a*b*R^-1 mod p (R = 2**32).
 
@@ -53,7 +63,7 @@ def mont_mul(a, b, p, pinv):
     mp_hi = mulhi_u32(m, p)
     # T + m*p = 0 mod R; the low-word carry is 1 unless lo == 0.
     t = hi + mp_hi + (lo != 0).astype(U32)
-    return jnp.where(t >= p, t - p, t)
+    return _csub(t, p)
 
 
 def shoup_mul(x, w, wq, p):
@@ -67,7 +77,7 @@ def shoup_mul(x, w, wq, p):
     """
     q = mulhi_u32(x, wq)
     r = x * w - q * p  # wraps mod 2**32; exact because r < 2p < 2**32
-    return jnp.where(r >= p, r - p, r)
+    return _csub(r, p)
 
 
 def shoup_host(w: int, p: int) -> int:
@@ -77,11 +87,12 @@ def shoup_host(w: int, p: int) -> int:
 
 def add_mod(a, b, p):
     s = a + b  # both < p < 2**31: no wrap
-    return jnp.where(s >= p, s - p, s)
+    return _csub(s, p)
 
 
 def sub_mod(a, b, p):
-    return jnp.where(a >= b, a - b, a + (p - b))
+    # (a - b) + p < 2p; _csub folds it back. 3 ops (sub, add, min).
+    return _csub(a - b + p, p)
 
 
 def neg_mod(a, p):
@@ -89,14 +100,14 @@ def neg_mod(a, p):
 
 
 def cond_sub_mod(x, p):
-    """[x]_p for x < 2p: one compare + subtract + select.
+    """[x]_p for x < 2p: one subtract + unsigned min.
 
     Replaces the generic `%` (an expensive integer division on the VPU) for
     cross-prime re-reduction of residues: every RNS prime here is 31 bits
     (ops.primes.ntt_primes scans down from 2**31, so p > 2**30), hence any
     residue x < 2**31 of any other prime satisfies x < 2p.
     """
-    return jnp.where(x >= p, x - p, x)
+    return _csub(x, p)
 
 
 def modsum(x, p, axis=0):

@@ -314,6 +314,76 @@ def ct_stage(X, sw, sq, t: int, p):
     return _ct_stage_roll(X, sw, sq, t, p)
 
 
+# ---------------------------------------------------------------------------
+# Multi-level fused blocks: apply r consecutive butterfly levels in ONE pass
+# over the tile. The kernel is VMEM-bandwidth-bound, not compute-bound (a
+# chained mulhi runs as fast as a chained add on the VPU -- see
+# benchmarks/bench_vpu_ops.py), so each materialized full-tile stage costs a
+# tile read+write; fusing levels into a recursion over register-resident
+# sub-blocks removes those round-trips. Bit-exact with the per-stage path:
+# identical butterfly arithmetic, identical order.
+# ---------------------------------------------------------------------------
+
+def _split2(A):
+    """(..., B, lanes_or_1) -> halves ((..., B/2, w), (..., B/2, w))."""
+    *lead, B, w = A.shape
+    Ar = A.reshape(*lead, 2, B // 2, w)
+    return Ar[..., 0, :, :], Ar[..., 1, :, :]
+
+
+def _join2(u, v):
+    *lead, h, w = u.shape
+    return jnp.stack([u, v], axis=-3).reshape(*lead, 2 * h, w)
+
+
+def _fused_block(X, tabs, p, kind: str, topdown: bool):
+    """Apply len(tabs) butterfly levels inside one block (axis -2).
+
+    tabs: [(sw, sq), ...] coarsest level first; each table row-aligned with
+    X's axis -2. topdown=True applies coarse -> fine (forward order),
+    False applies fine -> coarse (inverse replay). kind: 'ct' | 'gs'.
+    """
+    if not tabs:
+        return X
+    sw, sq = tabs[0]
+    sw_u, sw_v = _split2(sw)
+    sq_u, sq_v = _split2(sq)
+    u, v = _split2(X)
+    rest = [(a, b) for a, b in tabs[1:]]
+
+    def rec(y, half):
+        sub = [( _split2(a)[half], _split2(b)[half]) for a, b in rest]
+        return _fused_block(y, sub, p, kind, topdown)
+
+    if not topdown:
+        u, v = rec(u, 0), rec(v, 1)
+    if kind == "ct":
+        w = shoup_mul(v, sw_v, sq_v, p)
+        u, v = add_mod(u, w, p), sub_mod(u, w, p)
+    else:  # gs
+        u, v = add_mod(u, v, p), shoup_mul(sub_mod(u, v, p), sw_v, sq_v, p)
+    if topdown:
+        u, v = rec(u, 0), rec(v, 1)
+    return _join2(u, v)
+
+
+def _run_group(X, tab, ks, t_eff, p, kind: str, topdown: bool):
+    """Run the consecutive stages ``ks`` (with effective pair distances
+    ``t_eff``, coarsest first) as one fused pass. All stages must live in the
+    same row space (natural or regrouped)."""
+    *lead, M, lanes = X.shape
+    B = 2 * t_eff[0]                     # block size = 2 * coarsest distance
+    g = M // B
+    Xb = X.reshape(*lead, g, B, lanes)
+    tabs = []
+    for k in ks:
+        sw = tab[0, k].reshape(*tab[0, k].shape[:-2], g, B, 1)
+        sq = tab[1, k].reshape(*tab[1, k].shape[:-2], g, B, 1)
+        tabs.append((sw, sq))
+    out = _fused_block(Xb, tabs, p, kind, topdown)
+    return out.reshape(*lead, M, lanes)
+
+
 def gs_stage(X, sw, sq, h: int, p):
     """u' = u + v ; v' = (u - v) * s with pair distance h down axis -2."""
     if h >= SPLIT_MIN_T:
@@ -340,47 +410,70 @@ def _fwd_stages(X, s1, s2, tw, p, m1: int, m2: int):
     return jnp.swapaxes(X, -1, -2)       # (..., m1, m2) = (a, b)
 
 
-def _run_half_v2(X, tab, M: int, p, stage_fn, ks):
-    """One half of the split NTT with NO roll stages: iterate stage indices
-    ``ks`` (pair distance t = M >> (k+1)); contiguous runs of sub-tile
-    stages execute in regrouped row space with distance t*(M/8) using the
-    plan's permuted tables (tab = (2, log, M, 1) v2 tables)."""
-    grouped = False
+def _run_half_v2(X, tab, M: int, p, kind: str, ks, fuse: int = 1):
+    """One half of the split NTT: iterate stage indices ``ks`` (pair
+    distance t = M >> (k+1)); contiguous runs of sub-tile stages execute in
+    regrouped row space with distance t*(M/8) using the plan's permuted
+    tables (tab = (2, log, M, 1) v2 tables). ``fuse`` > 1 bundles up to that
+    many consecutive same-row-space stages into one multi-level pass
+    (_fused_block) -- the kernel is VMEM-bandwidth-bound, so fewer full-tile
+    materializations is the first-order win."""
+    ks = list(ks)
+    topdown = ks == sorted(ks)           # forward order = coarse -> fine
     R = M // 8
-    for k in ks:
+    stage_fn = ct_stage if kind == "ct" else gs_stage
+
+    def space(k):
         t = M >> (k + 1)
-        if t < SPLIT_MIN_T and _use_regroup(M):
-            if not grouped:
-                X = _regroup(X)
-                grouped = True
-            X = stage_fn(X, tab[0, k], tab[1, k], t * R, p)
+        if t >= SPLIT_MIN_T:
+            return "nat"
+        return "rg" if _use_regroup(M) else "roll"
+
+    runs: list[tuple[str, list[int]]] = []
+    for k in ks:
+        sp = space(k)
+        if runs and runs[-1][0] == sp and sp != "roll":
+            runs[-1][1].append(k)
         else:
-            if grouped:
-                X = _ungroup(X)
-                grouped = False
-            X = stage_fn(X, tab[0, k], tab[1, k], t, p)
-    if grouped:
-        X = _ungroup(X)
+            runs.append((sp, [k]))
+
+    for sp, run in runs:
+        if sp == "roll":
+            k = run[0]
+            X = stage_fn(X, tab[0, k], tab[1, k], M >> (k + 1), p)
+            continue
+        if sp == "rg":
+            X = _regroup(X)
+        scale = R if sp == "rg" else 1
+        for i in range(0, len(run), max(1, fuse)):
+            grp = sorted(run[i : i + max(1, fuse)])   # coarsest first
+            te = [(M >> (k + 1)) * scale for k in grp]
+            if len(grp) == 1:
+                X = stage_fn(X, tab[0, grp[0]], tab[1, grp[0]], te[0], p)
+            else:
+                X = _run_group(X, tab, grp, te, p, kind, topdown)
+        if sp == "rg":
+            X = _ungroup(X)
     return X
 
 
-def _fwd_stages_v2(X, s1, s2, tw, p, m1: int, m2: int):
+def _fwd_stages_v2(X, s1, s2, tw, p, m1: int, m2: int, fuse: int = 1):
     """Bit-exact with _fwd_stages; sub-tile stages run regrouped (v2 tables).
     Table axes here: s1/s2 = (2, log, M, 1), tw = (2, m1, m2)."""
-    X = _run_half_v2(X, s1, m1, p, ct_stage, range(_log2(m1)))
+    X = _run_half_v2(X, s1, m1, p, "ct", range(_log2(m1)), fuse)
     X = shoup_mul(X, tw[..., 0, :, :], tw[..., 1, :, :], p)
     X = jnp.swapaxes(X, -1, -2)
-    X = _run_half_v2(X, s2, m2, p, gs_stage, range(_log2(m2)))
+    X = _run_half_v2(X, s2, m2, p, "gs", range(_log2(m2)), fuse)
     return jnp.swapaxes(X, -1, -2)
 
 
-def _inv_stages_v2(X, is1, is2, itw, p, m1: int, m2: int):
+def _inv_stages_v2(X, is1, is2, itw, p, m1: int, m2: int, fuse: int = 1):
     """Bit-exact with _inv_stages; sub-tile stages run regrouped."""
     X = jnp.swapaxes(X, -1, -2)
-    X = _run_half_v2(X, is2, m2, p, ct_stage, reversed(range(_log2(m2))))
+    X = _run_half_v2(X, is2, m2, p, "ct", reversed(range(_log2(m2))), fuse)
     X = jnp.swapaxes(X, -1, -2)
     X = shoup_mul(X, itw[..., 0, :, :], itw[..., 1, :, :], p)
-    X = _run_half_v2(X, is1, m1, p, gs_stage, reversed(range(_log2(m1))))
+    X = _run_half_v2(X, is1, m1, p, "gs", reversed(range(_log2(m1))), fuse)
     return X
 
 
@@ -438,7 +531,7 @@ def intt_split(x, plan: SplitNTTPlan):
 # VMEM-resident (TB, m1, m2) tile.
 # ---------------------------------------------------------------------------
 
-def _make_kernel(m1: int, m2: int, inverse: bool):
+def _make_kernel(m1: int, m2: int, inverse: bool, fuse: int):
     def kernel(p_ref, x_ref, sa_ref, sb_ref, tw_ref, out_ref):
         l = pl.program_id(0)
         p = p_ref[l, 0]
@@ -447,17 +540,18 @@ def _make_kernel(m1: int, m2: int, inverse: bool):
         sb = sb_ref[0]                       # (2, log2, m2, 1) v2 tables
         tw = tw_ref[0]                       # (2, m1, m2)
         if inverse:
-            out = _inv_stages_v2(X, sa, sb, tw, p, m1, m2)
+            out = _inv_stages_v2(X, sa, sb, tw, p, m1, m2, fuse)
         else:
-            out = _fwd_stages_v2(X, sa, sb, tw, p, m1, m2)
+            out = _fwd_stages_v2(X, sa, sb, tw, p, m1, m2, fuse)
         out_ref[:, 0] = out
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("plan", "inverse", "tile_b", "interpret"))
+@partial(jax.jit, static_argnames=("plan", "inverse", "tile_b", "interpret",
+                                   "fuse"))
 def _pallas_call(x, plan: SplitNTTPlan, inverse: bool, tile_b: int,
-                 interpret: bool):
+                 interpret: bool, fuse: int):
     L, n, m1, m2 = plan.L, plan.n, plan.m1, plan.m2
     bshape = x.shape[:-2]
     B = int(np.prod(bshape)) if bshape else 1
@@ -474,7 +568,7 @@ def _pallas_call(x, plan: SplitNTTPlan, inverse: bool, tile_b: int,
 
     grid = (L, Bp // tile_b)
     out = pl.pallas_call(
-        _make_kernel(m1, m2, inverse),
+        _make_kernel(m1, m2, inverse, fuse),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -501,17 +595,24 @@ def _pallas_call(x, plan: SplitNTTPlan, inverse: bool, tile_b: int,
     return out
 
 
+# Measured on v5e (benchmarks/bench_ntt_kernel.py sweep): fuse in {1,2,4,7}
+# all land within ~5% -- the kernel is VPU-compute-bound, so collapsing
+# stage passes does not move it. Default to 1 (the round-2-proven layout);
+# the fused executor remains available for experiments.
+DEFAULT_FUSE = 1
+
+
 def ntt_pallas(x, plan: SplitNTTPlan, tile_b: int = DEFAULT_TILE_B,
-               interpret: bool | None = None):
+               interpret: bool | None = None, fuse: int = DEFAULT_FUSE):
     """Fused forward NTT. x: (..., L, n) uint32 -> bit-reversed NTT domain."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _pallas_call(x, plan, False, tile_b, interpret)
+    return _pallas_call(x, plan, False, tile_b, interpret, fuse)
 
 
 def intt_pallas(x, plan: SplitNTTPlan, tile_b: int = DEFAULT_TILE_B,
-                interpret: bool | None = None):
+                interpret: bool | None = None, fuse: int = DEFAULT_FUSE):
     """Fused inverse NTT. x: (..., L, n) bit-reversed -> natural order."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _pallas_call(x, plan, True, tile_b, interpret)
+    return _pallas_call(x, plan, True, tile_b, interpret, fuse)
