@@ -74,6 +74,7 @@ def main():
             ctx, rk, tok(idx, token), minus, table, mask, use_kernel=use_kernel
         ).data
 
+    ctx.mulconv  # build the HPS converter before tracing _hps_mul_impl
     ip0 = f_pos(idx_ct.data, pie.table_pt, jnp.uint32(0))
     ip0 = add_mod(ip0, minus_ct.data[None, None], ctx.p)
     a_d, b_d = ip0[0], ip0[1]  # (D, 2, L, N)

@@ -117,9 +117,12 @@ class BFVContext(BGVContext):
         r2_aux = jnp.asarray(plan_aux.r2_arr)
         # operand coefficients over q, extended to the aux base's NTT domain.
         # All transforms run the fused Pallas path on a single TPU chip
-        # (~3x the unfused XLA stages at these shapes; see BENCH_NOTES.md)
-        ea = self._ntt_fast_aux(mc.extend_q_to_aux(self._intt_fast(a.data)))
-        eb = self._ntt_fast_aux(mc.extend_q_to_aux(self._intt_fast(b.data)))
+        # (~3x the unfused XLA stages at these shapes; see BENCH_NOTES.md).
+        # Both operands ride ONE stacked transform per direction: better
+        # kernel-grid utilization than two half-sized calls.
+        ab = jnp.stack([a.data, b.data], axis=0)
+        eab = self._ntt_fast_aux(mc.extend_q_to_aux(self._intt_fast(ab)))
+        ea, eb = eab[0], eab[1]
         # tensor products over both bases
         d_q = tensor_product(a.data, b.data, self.p, self.pinv, self.r2)
         d_aux = tensor_product(ea, eb, p_aux, pinv_aux, r2_aux)

@@ -21,24 +21,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nested_hashing_psi_tpu.ops.modmath import add_mod, mont_mul
+from nested_hashing_psi_tpu.ops.modmath import add_mod, modsum, mont_mul
 
 DEFAULT_TILE_N = 2048
 
 
 def _ip_kernel(p_ref, pinv_ref, idx_ref, pt_ref, out_ref):
-    P = pt_ref.shape[3]
+    """Grid step (l, h, nt): the index block (P, k, T) is read ONCE and
+    reused across all D depths (the table block is the dominant traffic, so
+    the kernel is table-read-bound -- its HBM speed of light). The position
+    products are computed fully vectorized -- (P, k, T) elementwise -- so
+    the VPU sees full (8, 128) tiles instead of a (k, T) accumulator with
+    2/8 sublane utilization, then tree-reduced over P."""
+    D = pt_ref.shape[2]
     l = pl.program_id(0)
     p = p_ref[l, 0]
     pinv = pinv_ref[l, 0]
+    idx = idx_ref[0, 0]                       # (P, k, T)
 
-    def body(j, acc):
-        prod = mont_mul(idx_ref[0, 0, j, :, :], pt_ref[0, 0, 0, j, :][None], p, pinv)
-        return add_mod(acc, prod, p)
-
-    acc = jnp.zeros((out_ref.shape[3], out_ref.shape[4]), jnp.uint32)
-    acc = jax.lax.fori_loop(0, P, body, acc)
-    out_ref[0, 0, 0, :, :] = acc
+    for d in range(D):                        # static unroll: D is small
+        ptd = pt_ref[0, 0, d]                 # (P, T)
+        prod = mont_mul(idx, ptd[:, None, :], p, pinv)
+        out_ref[0, 0, d] = modsum(prod, p, axis=0)   # (k, T)
 
 
 def indexed_inner_product(
@@ -54,6 +58,10 @@ def indexed_inner_product(
     D = pt.shape[1]
     assert pt.shape == (H, D, P, L, N)
     tile_n = min(tile_n, N)
+    # keep the double-buffered table block within a VMEM budget at big
+    # geometries (D ~ P ~ 48 at the 2^24 north-star config)
+    while D * P * tile_n * 4 > (8 << 20) and tile_n > 256:
+        tile_n //= 2
     assert N % tile_n == 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -61,7 +69,7 @@ def indexed_inner_product(
     idx_t = idx.transpose(3, 0, 1, 2, 4)   # (L, H, P, 2, N)
     pt_t = pt.transpose(3, 0, 1, 2, 4)     # (L, H, D, P, N)
 
-    grid = (L, H, D, N // tile_n)
+    grid = (L, H, N // tile_n)
     out = pl.pallas_call(
         _ip_kernel,
         grid=grid,
@@ -69,14 +77,14 @@ def indexed_inner_product(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, P, k, tile_n), lambda l, h, d, nt: (l, h, 0, 0, nt)
+                (1, 1, P, k, tile_n), lambda l, h, nt: (l, h, 0, 0, nt)
             ),
             pl.BlockSpec(
-                (1, 1, 1, P, tile_n), lambda l, h, d, nt: (l, h, d, 0, nt)
+                (1, 1, D, P, tile_n), lambda l, h, nt: (l, h, 0, 0, nt)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, k, tile_n), lambda l, h, d, nt: (l, h, d, 0, nt)
+            (1, 1, D, k, tile_n), lambda l, h, nt: (l, h, 0, 0, nt)
         ),
         out_shape=jax.ShapeDtypeStruct((L, H, D, k, N), jnp.uint32),
         interpret=interpret,
