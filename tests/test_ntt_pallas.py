@@ -62,3 +62,18 @@ def test_pallas_kernel_single_poly_and_odd_log():
     want = np.asarray(ntt(x, plan))
     np.testing.assert_array_equal(np.asarray(ntt_pallas(x, sp)), want)
     np.testing.assert_array_equal(np.asarray(ntt_split(x, sp)), want)
+
+
+@pytest.mark.parametrize("fuse", [2, 3, 7])
+def test_pallas_kernel_fused_levels(fuse):
+    """Multi-level fused butterfly executor (_fused_block) bit-exact vs
+    canonical for several grouping widths, fwd and inv."""
+    n = 1024
+    ps = primes.ntt_primes(2, 31, 2 * n)
+    plan, sp = NTTPlan(n, ps), SplitNTTPlan(n, ps)
+    x = _data(n, ps, 2)
+    want = np.asarray(ntt(x, plan))
+    got = np.asarray(ntt_pallas(x, sp, tile_b=2, fuse=fuse))
+    np.testing.assert_array_equal(got, want)
+    back = np.asarray(intt_pallas(jnp.asarray(want), sp, tile_b=2, fuse=fuse))
+    np.testing.assert_array_equal(back, np.asarray(x))

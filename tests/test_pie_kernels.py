@@ -28,3 +28,24 @@ def test_indexed_inner_product_matches_reference():
     expected = indexed_inner_product_jnp(idx, pt, p, pinv)
     got = indexed_inner_product(idx, pt, p, pinv, tile_n=128)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_indexed_inner_product_northstar_geometry_tile_shrink():
+    """D = P = 48 (the 2^24 geometry's inner table): exercises the automatic
+    tile_n shrink that bounds the double-buffered table block."""
+    H, D, P, L, N = 1, 48, 48, 1, 512
+    ps = primes.ntt_primes(L, 31, 2 * N)
+    p = jnp.asarray(np.array(ps, np.uint32).reshape(L, 1))
+    pinv = jnp.asarray(
+        np.array([mont_constants(q)[0] for q in ps], np.uint32).reshape(L, 1)
+    )
+    rng = np.random.default_rng(7)
+    idx = jnp.asarray(
+        rng.integers(0, min(ps), size=(H, P, 2, L, N), dtype=np.uint64), jnp.uint32
+    )
+    pt = jnp.asarray(
+        rng.integers(0, min(ps), size=(H, D, P, L, N), dtype=np.uint64), jnp.uint32
+    )
+    expected = indexed_inner_product_jnp(idx, pt, p, pinv)
+    got = indexed_inner_product(idx, pt, p, pinv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
