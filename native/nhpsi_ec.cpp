@@ -118,12 +118,8 @@ static void mont_sqr(const Fp* f, const u64* a, u64* out) { mont_mul(f, a, a, ou
 
 static bool is_zero4(const u64* a) { return !(a[0] | a[1] | a[2] | a[3]); }
 
-// Montgomery-domain inverse via Fermat (p prime): a^(p-2).
-static void mont_inv(const Fp* f, const u64* a, u64* out) {
-    u64 e[4];
-    // e = p - 2
-    u64 two[4] = {2, 0, 0, 0};
-    sub4(e, f->p, two);
+// Montgomery-domain power: out = a^e, e given as 4x64 little-endian limbs.
+static void mont_pow(const Fp* f, const u64* a, const u64* e, u64* out) {
     u64 acc[4];
     memcpy(acc, f->mont_one, 32);
     u64 base[4];
@@ -137,6 +133,15 @@ static void mont_inv(const Fp* f, const u64* a, u64* out) {
         }
     }
     memcpy(out, acc, 32);
+}
+
+// Montgomery-domain inverse via Fermat (p prime): a^(p-2).
+static void mont_inv(const Fp* f, const u64* a, u64* out) {
+    u64 e[4];
+    // e = p - 2
+    u64 two[4] = {2, 0, 0, 0};
+    sub4(e, f->p, two);
+    mont_pow(f, a, e, out);
 }
 
 static void fp_init(Fp* f, const u64* p, const u64* a_plain) {
@@ -459,6 +464,43 @@ int ec_sum_batch(
             jac_add(&f, &R, &P, &R);
         }
         store_affine(&f, &R, out_xy + 8 * g, out_inf + g);
+    }
+    return 0;
+}
+
+// SEC1 point decompression for curves with p = 3 (mod 4):
+// y = (x^3 + a*x + b)^((p+1)/4); ok[i] = 0 if x is not on the curve.
+// e = (p+1)/4 as 4x64 little-endian limbs; parities[i] = wanted y & 1.
+// The wire-deserialization hot path (one modexp + one verifying square per
+// point, all in Montgomery domain) -- replaces per-point Python pow chains.
+int ec_decompress_batch(
+    const u64* p, const u64* a, const u64* b, const u64* e,
+    const u64* xs, const uint8_t* parities, int64_t n,
+    u64* out_y, uint8_t* ok)
+{
+    Fp f;
+    fp_init(&f, p, a);
+    u64 bm[4];
+    mont_mul(&f, b, f.r2, bm);
+    for (int64_t i = 0; i < n; i++) {
+        u64 xm[4], t[4], rhs[4], ym[4], chk[4], y[4];
+        mont_mul(&f, xs + 4 * i, f.r2, xm);
+        mont_sqr(&f, xm, t);
+        mont_mul(&f, t, xm, rhs);             // x^3
+        mont_mul(&f, f.a_mont, xm, t);
+        add_mod(&f, rhs, t, rhs);             // + a*x
+        add_mod(&f, rhs, bm, rhs);            // + b
+        mont_pow(&f, rhs, e, ym);
+        mont_sqr(&f, ym, chk);
+        ok[i] = memcmp(chk, rhs, 32) == 0 ? 1 : 0;
+        u64 one[4] = {1, 0, 0, 0};
+        mont_mul(&f, ym, one, y);             // back to plain domain
+        if (!is_zero4(y) && ((y[0] & 1) != (parities[i] & 1))) {
+            u64 tmp[4];
+            sub4(tmp, f.p, y);
+            memcpy(y, tmp, 32);
+        }
+        memcpy(out_y + 4 * i, y, 32);
     }
     return 0;
 }

@@ -329,13 +329,50 @@ class EcGroup:
         if data[0] == 0:
             return None
         x = int.from_bytes(data[1:], "big")
-        rhs = (pow(x, 3, self.p) + self.a * x + self.b) % self.p
+        rhs = (x * x % self.p * x + self.a * x + self.b) % self.p
         y = _sqrt_mod(rhs, self.p)
         if y is None:
             raise ValueError("invalid point encoding")
         if (y & 1) != (data[0] & 1):
             y = self.p - y
         return (x, y)
+
+    def points_from_bytes(self, data: bytes, count: int) -> list:
+        """Deserialize `count` concatenated SEC1-compressed points.
+
+        The wire-receive hot path: decompression (one modexp per point) runs
+        as ONE native batch call when the backend is available and
+        p = 3 (mod 4) (P-192/256, not P-224); otherwise falls back to the
+        per-point Python path. Point-for-point identical to from_bytes."""
+        k = self.nbytes + 1
+        assert len(data) == count * k, (len(data), count, k)
+        if self._native is None or self.p % 4 != 3 or count < 4:
+            return [
+                self.from_bytes(data[i * k : (i + 1) * k]) for i in range(count)
+            ]
+        import numpy as np
+
+        arr = np.frombuffer(data, np.uint8).reshape(count, k)
+        prefixes = arr[:, 0]
+        inf = prefixes == 0
+        buf = np.zeros((count, 32), np.uint8)
+        buf[:, 32 - self.nbytes :] = arr[:, 1:]
+        xs = np.ascontiguousarray(buf[:, ::-1]).view(np.uint64)  # LE limbs
+        ys, ok = self._native.decompress_batch(self.b, xs, prefixes & 1)
+        if not (ok | inf).all():
+            raise ValueError("invalid point encoding")
+        out = []
+        for i in range(count):
+            if inf[i]:
+                out.append(None)
+            else:
+                out.append(
+                    (
+                        int.from_bytes(xs[i].tobytes(), "little"),
+                        int.from_bytes(ys[i].tobytes(), "little"),
+                    )
+                )
+        return out
 
     def is_on_curve(self, A) -> bool:
         if A is None:
@@ -362,10 +399,12 @@ def _sqrt_mod(a: int, p: int) -> int | None:
     a %= p
     if a == 0:
         return 0
+    if p % 4 == 3:
+        # one modexp + a verifying square beats the Euler pre-check
+        y = pow(a, (p + 1) // 4, p)
+        return y if y * y % p == a else None
     if pow(a, (p - 1) // 2, p) != 1:
         return None
-    if p % 4 == 3:
-        return pow(a, (p + 1) // 4, p)
     q, s = p - 1, 0
     while q % 2 == 0:
         q //= 2

@@ -253,6 +253,13 @@ class BinaryEcGroup:
         ybit = 0 if x == 0 else self._fmul(y, self._finv(x)) & 1
         return bytes([2 | ybit]) + x.to_bytes(self.nbytes, "big")
 
+    def points_from_bytes(self, data: bytes, count: int) -> list:
+        """Batch deserialization (API parity with EcGroup; per-point here --
+        half-trace decompression has no native backend)."""
+        k = self.nbytes + 1
+        assert len(data) == count * k
+        return [self.from_bytes(data[i * k : (i + 1) * k]) for i in range(count)]
+
     def from_bytes(self, data: bytes):
         if data[0] == 0:
             return None

@@ -231,6 +231,15 @@ class AddHomElGamal:
         k = g.nbytes + 1
         return ElGamalCiphertext(g.from_bytes(data[:k]), g.from_bytes(data[k:]))
 
+    def cts_from_bytes(self, data: bytes, count: int) -> list[ElGamalCiphertext]:
+        """Deserialize `count` concatenated ciphertexts with ONE batched
+        point-decompression call (the wire-receive hot path; see
+        EcGroup.points_from_bytes)."""
+        pts = self.group.points_from_bytes(data, 2 * count)
+        return [
+            ElGamalCiphertext(pts[2 * i], pts[2 * i + 1]) for i in range(count)
+        ]
+
     def point_to_bytes(self, pt) -> bytes:
         return self.group.to_bytes(pt)
 

@@ -96,7 +96,7 @@ class _ElGamalClientBase(PSIClientBase):
         data = self.channel.read_msg()
         k = 2 * (self.enc.group.nbytes + 1)
         assert len(data) == count * k
-        return [self.enc.ct_from_bytes(data[i * k : (i + 1) * k]) for i in range(count)]
+        return self.enc.cts_from_bytes(data, count)
 
     def _receive_and_extract(self) -> None:
         items = self._slot_items()
@@ -150,7 +150,7 @@ class _ElGamalServerBase(PSIServerBase):
         data = self.channel.read_msg()
         k = 2 * (self.enc.group.nbytes + 1)
         assert len(data) == count * k
-        return [self.enc.ct_from_bytes(data[i * k : (i + 1) * k]) for i in range(count)]
+        return self.enc.cts_from_bytes(data, count)
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,11 @@ def get_lib():
                 _U64P, _U64P, ctypes.c_int64, ctypes.c_int64, _U64P, _U8P,
                 _U64P, _U8P,
             ]
+            lib.ec_decompress_batch.restype = ctypes.c_int
+            lib.ec_decompress_batch.argtypes = [
+                _U64P, _U64P, _U64P, _U64P, _U64P, _U8P, ctypes.c_int64,
+                _U64P, _U8P,
+            ]
             _lib = lib
         except (OSError, subprocess.CalledProcessError):
             _lib = None
@@ -116,8 +121,28 @@ class NativeEc:
     """Per-curve handle (caches the p/a limb arrays)."""
 
     def __init__(self, p: int, a: int):
+        self.p_int = p
         self.p_arr = _int_limbs(p)
         self.a_arr = _int_limbs(a % p)
+
+    def decompress_batch(self, b: int, xs: np.ndarray, parities: np.ndarray):
+        """SEC1 decompression, p = 3 (mod 4) curves only: xs (n, 4) uint64
+        little-endian limbs -> (ys (n, 4) limbs, ok (n,) uint8)."""
+        assert self.p_int % 4 == 3
+        lib = get_lib()
+        assert lib is not None
+        n = len(xs)
+        b_arr = _int_limbs(b % self.p_int)
+        e_arr = _int_limbs((self.p_int + 1) // 4)
+        ys = np.zeros((n, 4), np.uint64)
+        ok = np.zeros(n, np.uint8)
+        xs = np.ascontiguousarray(xs, np.uint64)
+        par = np.ascontiguousarray(parities, np.uint8)
+        lib.ec_decompress_batch(
+            _p(self.p_arr), _p(self.a_arr), _p(b_arr), _p(e_arr),
+            _p(xs), _p8(par), n, _p(ys), _p8(ok),
+        )
+        return ys, ok
 
     def mul_batch(self, bases, scalars, shared: bool) -> list:
         """[k*B] for (B, k) pairs; shared=True uses bases[0] for all with one

@@ -73,3 +73,22 @@ def test_native_edge_cases():
     # k*G + (order-k)*G = infinity through the native multi-exp
     k = 123456789
     assert g.multi_mul([g.g, g.g], [k, g.order - k]) is None
+
+
+def test_points_from_bytes_batch_roundtrip():
+    """Batched SEC1 decompression (native when available): identical to the
+    per-point path for P-256 (p = 3 mod 4, native) and P-224 (p = 1 mod 4,
+    Python Tonelli fallback), including the infinity encoding."""
+    from nested_hashing_psi_tpu.crypto.ec import EcGroup
+
+    for curve in ("P-256", "P-224"):
+        g = EcGroup(curve)
+        pts = [g.mul(g.g, 7 + 13 * i) for i in range(9)] + [None]
+        data = b"".join(g.to_bytes(p) for p in pts)
+        got = g.points_from_bytes(data, len(pts))
+        assert got == pts, curve
+        per_point = [
+            g.from_bytes(data[i * (g.nbytes + 1) : (i + 1) * (g.nbytes + 1)])
+            for i in range(len(pts))
+        ]
+        assert got == per_point, curve
