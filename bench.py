@@ -132,36 +132,42 @@ def bench_pie_online():
     # fetch -- no relay round-trip per query, no elision possible.
     from nested_hashing_psi_tpu.pie.batched_fhe import batched_pie_forward
 
-    def step_impl(idx_data, minus_data, token):
+    # table/mask/keys as jit ARGUMENTS (not closures): a closed-over packed
+    # table becomes a literal constant of the lowered program, which this
+    # sandbox's relay re-validates per dispatch (~45 ms/call measured).
+    def step_impl(idx_data, minus_data, tbl, msk, rk, token):
         m2, _ = jax.lax.optimization_barrier((minus_data, token))
         return batched_pie_forward(
-            ctx, rlk, idx_data, m2, pie.table_pt, pie.mask_pt,
+            ctx, rk, idx_data, m2, tbl, msk,
             use_kernel=jax.default_backend() == "tpu",
         ).data
 
     step = jax.jit(step_impl)
-    o = step(idx_ct.data, minus_ct.data, jnp.uint32(0))
+    sargs = (idx_ct.data, minus_ct.data, pie.table_pt, pie.mask_pt, rlk)
+    o = step(*sargs, jnp.uint32(0))
     _sync(o)
     chain_iters = 20
     t0 = time.perf_counter()
     for _ in range(chain_iters):
-        o = step(idx_ct.data, minus_ct.data, o[0, 0, 0, 0])
+        o = step(*sargs, o[0, 0, 0, 0])
     _sync(o)
     steady_ms = (time.perf_counter() - t0) / chain_iters * 1e3
 
     # Device-only number: the same chain run by lax.fori_loop inside ONE
-    # dispatch, removing the per-iteration relay/dispatch overhead (~2 ms
-    # per call in this sandbox) that steady_ms still contains.
+    # dispatch, removing the per-iteration relay/dispatch overhead that
+    # steady_ms still contains.
     @jax.jit
-    def chain(idx_data, minus_data, k):
+    def chain(idx_data, minus_data, tbl, msk, rk, k):
         def body(_, tok):
-            return step_impl(idx_data, minus_data, tok[0, 0, 0, 0])
+            return step_impl(idx_data, minus_data, tbl, msk, rk, tok[0, 0, 0, 0])
 
-        return jax.lax.fori_loop(0, k, body, step_impl(idx_data, minus_data, jnp.uint32(0)))
+        return jax.lax.fori_loop(
+            0, k, body, step_impl(idx_data, minus_data, tbl, msk, rk, jnp.uint32(0))
+        )
 
-    _sync(chain(idx_ct.data, minus_ct.data, 2))
+    _sync(chain(*sargs, 2))
     t0 = time.perf_counter()
-    _sync(chain(idx_ct.data, minus_ct.data, chain_iters))
+    _sync(chain(*sargs, chain_iters))
     device_ms = (time.perf_counter() - t0) / (chain_iters + 1) * 1e3
 
     counts = batched_pie_op_counts(H, D, P, ctx.L, ctx.n)

@@ -46,9 +46,6 @@ def _bench(fn, args, depths: int, iters: int | None = None) -> float:
     the timed region."""
     import jax
 
-    mix = jax.jit(
-        lambda first, o: jax.lax.optimization_barrier((first, o.ravel()[0]))[0]
-    )
     out = fn(*args)
     _sync(out)
     t0 = time.perf_counter()
@@ -56,6 +53,18 @@ def _bench(fn, args, depths: int, iters: int | None = None) -> float:
     _sync(out)
     per = time.perf_counter() - t0
     it = iters or max(3, int(1.5 / max(per, 1e-5)))
+    if jax.default_backend() == "cpu":
+        # On CPU there is no async relay to fool: device_get IS a real
+        # barrier, and queueing unsynced iterations oversubscribes the
+        # virtual-device collectives on few host cores (rendezvous
+        # starvation aborts). Sync every iteration instead of chaining.
+        t0 = time.perf_counter()
+        for _ in range(it):
+            _sync(fn(*args))
+        return depths * it / (time.perf_counter() - t0)
+    mix = jax.jit(
+        lambda first, o: jax.lax.optimization_barrier((first, o.ravel()[0]))[0]
+    )
     t0 = time.perf_counter()
     for _ in range(it):
         out = fn(mix(args[0], out), *args[1:])
@@ -76,9 +85,19 @@ def main():
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the virtual CPU mesh (the sandbox's sitecustomize "
+        "registers the TPU plugin before JAX_PLATFORMS is read, so the "
+        "env var alone does not stick -- set jax_platforms explicitly)",
+    )
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if args.coordinator:
         from nested_hashing_psi_tpu.parallel import multihost
@@ -124,12 +143,13 @@ def main():
     }
 
     def measure(n_dev: int, tp: int, label: str):
-        mesh = global_mesh(dp=n_dev // tp, tp=tp)
         if n_dev < len(jax.devices()):
             from jax.sharding import Mesh
 
             devs = np.array(jax.devices()[:n_dev]).reshape(n_dev // tp, tp)
             mesh = Mesh(devs, ("dp", "tp"))
+        else:
+            mesh = global_mesh(dp=n_dev // tp, tp=tp)
         fn, _ = sharded_pie_step(ctx, mesh)
         specs = pie_shardings(mesh)
         g = lambda k, a: host_to_global(mesh, specs[k].spec, a)
