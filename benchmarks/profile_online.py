@@ -115,5 +115,105 @@ def main():
           f"(wall {total:.0f}s)")
 
 
+def hps_parts():
+    """Attribute the HPS ct x ct itself: transforms vs base-conversion glue.
+    Invoke with: python benchmarks/profile_online.py hps"""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_small_pie
+    from nested_hashing_psi_tpu.fhe.bgv import Ciphertext, tensor_product
+    from nested_hashing_psi_tpu.fhe.params import default_num_limbs
+    from nested_hashing_psi_tpu.pie.batched_fhe import position_sum
+    from nested_hashing_psi_tpu.ops.modmath import add_mod
+
+    H, D, P, simple = 2, 12, 12, 8022
+    ring = 1 << 14
+    t = (1 << 32) + (1 << 20) + (1 << 19) + 1
+    L = default_num_limbs(t.bit_length(), H - 1, P, "bfv")
+    ctx, sk, rlk, pie, ops, idx_ct, minus_ct = _build_small_pie(
+        ring=ring, limbs=L, H=H, P=P, D=D, simple=simple, t=t, scheme="bfv"
+    )
+    ctx.mulconv
+    mc = ctx._mulconv
+    use_kernel = jax.default_backend() == "tpu"
+    ip0 = jax.jit(lambda i, tbl: position_sum(ctx, i, tbl, use_kernel=use_kernel))(
+        idx_ct.data, pie.table_pt
+    )
+    ip0 = add_mod(ip0, minus_ct.data[None, None], ctx.p)
+    a_d, b_d = ip0[0], ip0[1]  # (D, 2, L, N)
+    ab = jnp.stack([a_d, b_d])
+
+    plan_aux = mc.plan_aux
+    p_aux = jnp.asarray(plan_aux.p_arr)
+    pinv_aux = jnp.asarray(plan_aux.pinv_arr)
+    r2_aux = jnp.asarray(plan_aux.r2_arr)
+
+    def tok(x, token):
+        return jax.lax.optimization_barrier((x, token))[0]
+
+    @jax.jit
+    def f_intt_q(x, token):          # (2, D, 2, L, N)
+        return ctx._intt_fast(tok(x, token))
+
+    @jax.jit
+    def f_extend(x, token):          # coeffs -> aux residues (VPU only)
+        return mc.extend_q_to_aux(tok(x, token))
+
+    @jax.jit
+    def f_ntt_aux(x, token):
+        return ctx._ntt_fast_aux(tok(x, token))
+
+    @jax.jit
+    def f_tensor_both(eab, ab2, token):
+        ea, eb = eab[0], eab[1]
+        d_aux = tensor_product(tok(ea, token), eb, p_aux, pinv_aux, r2_aux)
+        d_q = tensor_product(ab2[0], ab2[1], ctx.p, ctx.pinv, ctx.r2)
+        return d_q, d_aux
+
+    @jax.jit
+    def f_scale_exact(d_q_c, d_aux_c, token):
+        y = mc.scale_round(tok(d_q_c, token), d_aux_c)
+        return mc.exact_to_q(y)
+
+    coeffs = f_intt_q(ab, jnp.uint32(0))
+    ext = f_extend(coeffs, jnp.uint32(0))
+    eab = f_ntt_aux(ext, jnp.uint32(0))
+    d_q, d_aux = f_tensor_both(eab, ab, jnp.uint32(0))
+    d_q_c = ctx._intt_fast(d_q)
+    d_aux_c = ctx._intt_fast_aux(d_aux)
+    y_q = f_scale_exact(d_q_c, d_aux_c, jnp.uint32(0))
+
+    @jax.jit
+    def f_intt_dq(x, token):
+        return ctx._intt_fast(tok(x, token))
+
+    @jax.jit
+    def f_intt_daux(x, token):
+        return ctx._intt_fast_aux(tok(x, token))
+
+    @jax.jit
+    def f_ntt_final(x, token):
+        return ctx._ntt_fast(tok(x, token))
+
+    rows = {
+        "intt_q(2xDx2xL)": (f_intt_q, (ab,)),
+        "extend(VPU)": (f_extend, (coeffs,)),
+        "ntt_aux(2xDx2xKA)": (f_ntt_aux, (ext,)),
+        "tensor_both": (f_tensor_both, (eab, ab)),
+        "intt_dq(Dx3xL)": (f_intt_dq, (d_q,)),
+        "intt_daux(Dx3xKA)": (f_intt_daux, (d_aux,)),
+        "scale+exact(VPU)": (f_scale_exact, (d_q_c, d_aux_c)),
+        "ntt_final(Dx3xL)": (f_ntt_final, (y_q,)),
+    }
+    print(f"KA={mc.K+1} L={ctx.L} D={D}", flush=True)
+    for name, (f, a) in rows.items():
+        print(f"{name:>22}: {_ms(f, a):7.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "hps":
+        import jax.numpy as jnp
+
+        hps_parts()
+    else:
+        main()
