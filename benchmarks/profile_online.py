@@ -31,13 +31,16 @@ def _sync(y):
 
 
 def _ms(step, args, iters=20):
-    """step(*args, token) -> array; chained through a token element."""
+    """step(*args, token) -> array or pytree; chained through a token."""
+    import jax
+
+    leaf = lambda o: jax.tree_util.tree_leaves(o)[0]
     o = step(*args, jnp.uint32(0))
-    _sync(o)
+    _sync(leaf(o))
     t0 = time.perf_counter()
     for _ in range(iters):
-        o = step(*args, o.ravel()[0])
-    _sync(o)
+        o = step(*args, leaf(o).ravel()[0])
+    _sync(leaf(o))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
