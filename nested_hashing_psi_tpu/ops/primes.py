@@ -49,15 +49,23 @@ def ntt_primes(count: int, bits: int, order: int, avoid: tuple[int, ...] = ()) -
     """
     assert order & (order - 1) == 0, "order must be a power of two"
     found: list[int] = []
-    # Largest candidate of the form k*order + 1 below 2**bits.
+    # Largest candidate of the form k*order + 1 below 2**bits. The scan must
+    # stay above 2**(bits-1): device code reduces residues of one prime mod
+    # another with a single conditional subtract (ops.modmath.cond_sub_mod),
+    # which requires every x < 2**bits to satisfy x < 2p -- i.e. all primes
+    # share the same top bit. Falling below the floor raises instead of
+    # silently breaking that contract.
+    floor = 2 ** (bits - 1)
     k = (2**bits - 2) // order
-    while len(found) < count and k > 0:
+    while len(found) < count and k * order + 1 > floor:
         p = k * order + 1
         if p not in avoid and is_prime(p):
             found.append(p)
         k -= 1
     if len(found) < count:
-        raise ValueError(f"not enough {bits}-bit primes = 1 mod {order}")
+        raise ValueError(
+            f"not enough primes = 1 mod {order} in (2**{bits - 1}, 2**{bits})"
+        )
     return tuple(found)
 
 

@@ -206,6 +206,7 @@ def pp_pipelined_pie_step(
     mesh: Mesh,
     axis: str = "pp",
     leveled: bool = False,
+    n_hash: int | None = None,
 ):
     """Cross-chip PIPELINE-parallel batched-PIE online step (SURVEY 2.3 PP).
 
@@ -267,9 +268,13 @@ def pp_pipelined_pie_step(
         return ct.data
 
     if leveled:
+        # build the drop-limb chain eagerly (trace constants); combine_ip
+        # only ever descends n_hash - 1 levels, so bound the chain there
+        # when the caller says how many hash functions it runs
         c = ctx
-        while c.L > 2:
-            c = c.drop_limb_context()  # build chain eagerly (trace constants)
+        lo = 2 if n_hash is None else max(2, ctx.L - (n_hash - 1))
+        while c.L > lo:
+            c = c.drop_limb_context()
 
     s_pos5 = P(None, axis, None, None, None)   # idx: positions sharded
     s_tbl = P(None, None, axis, None, None)    # table: positions sharded
@@ -315,7 +320,11 @@ def sharded_pie_step(
     pass ``n_hash`` so the drop-limb context chain is built eagerly (its
     constants must exist before tracing)."""
     sh = pie_shardings(mesh)
-    if leveled and n_hash is not None:
+    if leveled:
+        assert n_hash is not None, (
+            "leveled sharded_pie_step needs n_hash: the drop-limb context "
+            "chain must be built eagerly before tracing"
+        )
         c = ctx
         for _ in range(n_hash - 1):
             c = c.drop_limb_context()

@@ -37,7 +37,11 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            stale = os.path.exists(_SRC) and (
+                not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            )
+            if stale:
                 os.makedirs(os.path.dirname(_SO), exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
