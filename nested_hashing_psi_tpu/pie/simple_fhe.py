@@ -93,18 +93,62 @@ class SimpleFHEPIE:
 
         self._run = None
 
-    def run(self, index_cts: Ciphertext) -> Ciphertext:
+    # device-memory budget for the (chunk, H, B, 2, L, N) product tensor of
+    # one chunk (the largest intermediate of _run_impl; the EvalSum ladder
+    # keeps peak memory a small multiple of it)
+    CHUNK_BYTES = 1 << 30
+
+    def _pie_chunk(self) -> int:
+        per_pie = self.H * self.B * 2 * self.ctx.L * self.ctx.n * 4
+        return max(1, min(self.n_pies, self.CHUNK_BYTES // per_pie))
+
+    def run(self, index_cts: Ciphertext, pie_chunk: int | None = None) -> Ciphertext:
         """index_cts: (nPies, H, 2, L, N) -> results (nPies, H, 2, L, N)
-        (hash-fn axis shuffled per pie; slot b of result = bin b)."""
+        (hash-fn axis shuffled per pie; slot b of result = bin b).
+
+        Executes in pie chunks: one jitted program over a fixed chunk shape,
+        streamed over the position axis. At reference sweep geometries the
+        all-positions product tensor (nPies, H, B, 2, L, N) exceeds HBM
+        (e.g. 16.7 GB at Parameters1 row 0, ring 16384), so chunking is
+        load-bearing, not just a latency knob; the last partial chunk is
+        zero-padded to reuse the same executable."""
         if self._run is None:
             self._run = jax.jit(self._run_impl)
         # table/sel/mask plaintexts enter as jit ARGUMENTS: closing over
         # them would embed the packed table as a literal constant in the
         # lowered program (GBs at scale).
-        return self._run(
-            index_cts, self.table_pt, self.sel_pt, self.mask_pt,
-            jnp.asarray(self.hf_perm), self.gks,
-        )
+        c = self._pie_chunk() if pie_chunk is None else min(pie_chunk, self.n_pies)
+        hf_perm = jnp.asarray(self.hf_perm)
+        if c >= self.n_pies:
+            return self._run(
+                index_cts, self.table_pt, self.sel_pt, self.mask_pt,
+                hf_perm, self.gks,
+            )
+        outs = []
+        for s in range(0, self.n_pies, c):
+            e = min(s + c, self.n_pies)
+            pad = c - (e - s)
+
+            def slc(a, axis0=True):
+                part = a[s:e]
+                if pad:
+                    part = jnp.concatenate(
+                        [part, jnp.zeros((pad,) + part.shape[1:], part.dtype)],
+                        axis=0,
+                    )
+                return part
+
+            out = self._run(
+                Ciphertext(slc(index_cts.data), index_cts.form, index_cts.scale),
+                slc(self.table_pt),
+                self.sel_pt,
+                slc(self.mask_pt),
+                slc(hf_perm),
+                self.gks,
+            )
+            outs.append(out.data[: e - s])
+            form, scale = out.form, out.scale
+        return Ciphertext(jnp.concatenate(outs, axis=0), form, scale)
 
     def _run_impl(
         self, index_cts: Ciphertext, table_pt, sel_pt, mask_pt, hf_perm, gks

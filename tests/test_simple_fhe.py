@@ -98,3 +98,19 @@ def test_simple_fhe_e2e_40bit_ring16384():
     assert len(client.intersection_calculated) == 4
     budget = server.ctx.params.num_limbs * 31
     assert client.noise_bits < budget - 20
+
+
+def test_simple_fhe_chunked_run_matches_single_shot():
+    """Chunked pie execution (load-bearing at sweep geometries where the
+    all-positions product tensor exceeds HBM) is bit-exact vs one shot,
+    including the zero-padded final partial chunk."""
+    client, server, ok = run_in_process(params(), ht_params())
+    assert ok
+    pie, idx = server.pie, client.idx_ct
+    one = np.asarray(pie.run(idx).data)
+    # a chunk width that does not divide nPies exercises the padding path
+    assert pie.n_pies % 3 != 0
+    chunked = np.asarray(pie.run(idx, pie_chunk=3).data)
+    # the hf shuffle + masks are deterministic per PIE instance, so results
+    # must agree exactly
+    np.testing.assert_array_equal(one, chunked)
