@@ -212,13 +212,31 @@ class SimpleFHEClientOps:
                 out[row, h, self.P] = -int(v)
         return out
 
+    # bound encryption transients: sk-encryption of a B-row batch peaks at
+    # several (B, 2, L, N) tensors on device, and at sweep geometries the
+    # device also holds the server's packed table (loopback runs share one
+    # chip) -- chunk so each encrypt stays ~0.5 GB of working set.
+    ENC_CHUNK_BYTES = 1 << 29
+
     def encrypt_query(self, sk: SecretKey) -> Ciphertext:
         vec = self.build_index_vectors()
         n_pies = vec.shape[0]
-        pt = self.ctx.make_plaintext_rns(vec.reshape(n_pies * self.H, self.P + 1))
-        ct = self.ctx.encrypt_sk(pt, sk)
+        rows = vec.reshape(n_pies * self.H, self.P + 1)
+        per_row = 2 * self.ctx.L * self.ctx.n * 4
+        chunk = max(1, min(len(rows), self.ENC_CHUNK_BYTES // per_row))
+        parts = []
+        for s in range(0, len(rows), chunk):
+            e = min(s + chunk, len(rows))
+            batch = rows[s:e]
+            if e - s < chunk:  # pad: reuse the compiled encrypt program
+                batch = np.concatenate(
+                    [batch, np.zeros((chunk - (e - s), self.P + 1), object)]
+                )
+            pt = self.ctx.make_plaintext_rns(batch)
+            parts.append(self.ctx.encrypt_sk(pt, sk).data[: e - s])
+        data = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return Ciphertext(
-            ct.data.reshape(n_pies, self.H, 2, self.ctx.L, self.ctx.n)
+            data.reshape(n_pies, self.H, 2, self.ctx.L, self.ctx.n)
         )
 
     def extract_intersection(self, result_slots: np.ndarray) -> np.ndarray:

@@ -111,12 +111,22 @@ class SimpleFHEPSIClient(PSIClientBase):
             jnp.asarray(self.channel.read_tensor()), self.ctx.default_form, 1
         )
         n_pies = result.data.shape[0]
-        flat = Ciphertext(
-            result.data.reshape(-1, 2, self.ctx.L, self.ctx.n),
-            self.ctx.default_form,
-            1,
-        )
-        slots, noise = self.ctx.decrypt(flat, self.sk, length=self.ht.max_items_per_position)
+        flat_data = result.data.reshape(-1, 2, self.ctx.L, self.ctx.n)
+        # decrypt in bounded chunks: the iNTT + CRT transients of the whole
+        # (nPies*H)-row stack would stack on top of the server's resident
+        # table at sweep geometries (shared chip in loopback runs)
+        chunk = max(1, (1 << 29) // (2 * self.ctx.L * self.ctx.n * 4))
+        slot_parts, noise = [], 0.0
+        for s in range(0, flat_data.shape[0], chunk):
+            part = Ciphertext(
+                flat_data[s : s + chunk], self.ctx.default_form, 1
+            )
+            sl, nz = self.ctx.decrypt(
+                part, self.sk, length=self.ht.max_items_per_position
+            )
+            slot_parts.append(np.asarray(sl))
+            noise = max(noise, nz)
+        slots = np.concatenate(slot_parts, axis=0)
         self.noise_bits = noise
         slots = np.asarray(slots).reshape(
             n_pies, self.ht.n_cuckoo_hash_functions, self.ht.max_items_per_position
