@@ -7,14 +7,15 @@ BatchedFHEHIPPIE.cpp:68, FHEHIPPIE.cpp:52, BatchedFHEPSIClient.cpp:155-168).
 For prime t with 2n | t-1 the ring Z_t[x]/(x^n+1) fully splits: the
 negacyclic NTT over Z_t is an isomorphism onto n "slots" with pointwise
 add/mult. Encoding = inverse NTT of the slot vector mod t; decoding =
-forward NTT. Slot order is this framework's NTT output order (bit-reversed)
--- an internal convention applied consistently on encode and decode, so the
-protocol layers never observe it.
+forward NTT. Slot order is canonical (5-power ordering, see PackedEncoder
+and fhe.galois), so Galois rotations act as slot rotations within each
+half-ring; the protocol layers never observe the order either way.
 
 Two execution paths:
  - t < 2**31 (e.g. 65537 for 16-bit items): vectorized numpy uint64, exact.
- - larger t (33/41/49-bit moduli): numpy object arrays (python ints) --
-   exact but slower; a C++ host kernel is the planned upgrade.
+ - larger t (33/41/49-bit moduli): the native C++ __int128 host kernel
+   (native/nhpsi_native.cpp, via utils.native) when available, with an
+   exact numpy object-array (python ints) fallback.
 """
 
 from __future__ import annotations

@@ -45,9 +45,9 @@ def _csub(x, p):
     """[x]_p for x < 2p: compare + subtract + select.
 
     (An unsigned-min formulation -- min(x, x - p) with wraparound -- would
-    be 2 ops, but Mosaic cannot legalize vector arith.minui on TPU, and the
-    NTT kernel is VMEM-bandwidth-bound, not op-bound, so the select form
-    costs nothing measurable there.)"""
+    be 2 ops, but Mosaic cannot legalize vector arith.minui on TPU; the
+    measured penalty of the select form is within noise even though the NTT
+    kernel is VPU instruction-issue-bound -- see BENCH_NOTES.md.)"""
     return jnp.where(x >= p, x - p, x)
 
 

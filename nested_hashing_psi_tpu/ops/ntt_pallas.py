@@ -316,11 +316,13 @@ def ct_stage(X, sw, sq, t: int, p):
 
 # ---------------------------------------------------------------------------
 # Multi-level fused blocks: apply r consecutive butterfly levels in ONE pass
-# over the tile. The kernel is VMEM-bandwidth-bound, not compute-bound (a
-# chained mulhi runs as fast as a chained add on the VPU -- see
-# benchmarks/bench_vpu_ops.py), so each materialized full-tile stage costs a
-# tile read+write; fusing levels into a recursion over register-resident
-# sub-blocks removes those round-trips. Bit-exact with the per-stage path:
+# over the tile, removing full-tile materializations between stages. Built on
+# the hypothesis that those round-trips were the binder; the measured sweep
+# (benchmarks/bench_ntt_kernel.py, fuse in {1,2,4,7} all within ~5%) showed
+# they are NOT -- the kernel is bound by VPU instruction ISSUE (a chained
+# mulhi runs as fast as a chained add, benchmarks/bench_vpu_ops.py, so op
+# *count* reductions below ~25% measure flat; see BENCH_NOTES.md). The fused
+# executor is kept for experiments; bit-exact with the per-stage path:
 # identical butterfly arithmetic, identical order.
 # ---------------------------------------------------------------------------
 
@@ -416,8 +418,9 @@ def _run_half_v2(X, tab, M: int, p, kind: str, ks, fuse: int = 1):
     regrouped row space with distance t*(M/8) using the plan's permuted
     tables (tab = (2, log, M, 1) v2 tables). ``fuse`` > 1 bundles up to that
     many consecutive same-row-space stages into one multi-level pass
-    (_fused_block) -- the kernel is VMEM-bandwidth-bound, so fewer full-tile
-    materializations is the first-order win."""
+    (_fused_block); measured flat vs fuse=1 -- the kernel is VPU
+    instruction-issue-bound, not tile-materialization-bound (see the
+    DEFAULT_FUSE note below and BENCH_NOTES.md)."""
     ks = list(ks)
     topdown = ks == sorted(ks)           # forward order = coarse -> fine
     R = M // 8

@@ -24,7 +24,7 @@ Layouts (x viewed as (..., L, m1, m2)):
   inverse:  mirror schedule, so NTT-domain pointwise algebra (sharded on m1)
   composes with iNTT without extra relayouts.
 
-Results are bit-exact with ops.ntt (tests/test_dist_ntt.py).
+Results are bit-exact with ops.ntt (tests/test_ntt4_dist.py).
 """
 
 from __future__ import annotations

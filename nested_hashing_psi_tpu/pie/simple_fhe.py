@@ -117,7 +117,11 @@ class SimpleFHEPIE:
         # table/sel/mask plaintexts enter as jit ARGUMENTS: closing over
         # them would embed the packed table as a literal constant in the
         # lowered program (GBs at scale).
-        c = self._pie_chunk() if pie_chunk is None else min(pie_chunk, self.n_pies)
+        c = (
+            self._pie_chunk()
+            if pie_chunk is None
+            else max(1, min(pie_chunk, self.n_pies))
+        )
         hf_perm = jnp.asarray(self.hf_perm)
         if c >= self.n_pies:
             return self._run(
@@ -129,7 +133,7 @@ class SimpleFHEPIE:
             e = min(s + c, self.n_pies)
             pad = c - (e - s)
 
-            def slc(a, axis0=True):
+            def slc(a):
                 part = a[s:e]
                 if pad:
                     part = jnp.concatenate(

@@ -70,7 +70,10 @@ def get_lib():
                 _U64P, _U8P,
             ]
             _lib = lib
-        except (OSError, subprocess.CalledProcessError):
+        except (OSError, subprocess.CalledProcessError, AttributeError):
+            # AttributeError: a prebuilt .so compiled from older source can
+            # lack newer entry points (e.g. ec_decompress_batch); degrade to
+            # the pure-Python path instead of crashing EcGroup construction.
             _lib = None
         return _lib
 

@@ -32,8 +32,12 @@ def test_indexed_inner_product_matches_reference():
 
 def test_indexed_inner_product_northstar_geometry_tile_shrink():
     """D = P = 48 (the 2^24 geometry's inner table): exercises the automatic
-    tile_n shrink that bounds the double-buffered table block."""
-    H, D, P, L, N = 1, 48, 48, 1, 512
+    tile_n shrink that bounds the double-buffered table block. N = 4096 so
+    the default tile (2048) puts the table block at D*P*2048*4 = 18.9 MB,
+    above the 8 MB budget -- the while-loop must halve it twice (to 512)
+    and the N % tile_n == 0 path is genuinely covered."""
+    H, D, P, L, N = 1, 48, 48, 1, 4096
+    assert D * P * min(2048, N) * 4 > (8 << 20), "geometry must force a shrink"
     ps = primes.ntt_primes(L, 31, 2 * N)
     p = jnp.asarray(np.array(ps, np.uint32).reshape(L, 1))
     pinv = jnp.asarray(
