@@ -140,6 +140,9 @@ def bench_pie_online():
         return batched_pie_forward(
             ctx, rk, idx_data, m2, tbl, msk,
             use_kernel=jax.default_backend() == "tpu",
+            # production defaults: the rescaled-mult pipeline (mask-first,
+            # HPS+relin on pie.mul_limbs limbs, result on pie.ship_limbs)
+            mul_limbs=pie.mul_limbs, ship_limbs=pie.ship_limbs,
         ).data
 
     step = jax.jit(step_impl)

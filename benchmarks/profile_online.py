@@ -77,6 +77,17 @@ def main():
             ctx, rk, tok(idx, token), minus, table, mask, use_kernel=use_kernel
         ).data
 
+    # the rescaled-mult pipeline (fhe.params.bfv_mul_limbs): mask-first,
+    # operands modulus-switched to pie.mul_limbs, HPS+relin there, result
+    # shipped at pie.ship_limbs
+    @jax.jit
+    def f_full_rescaled(idx, minus, table, mask, rk, token):
+        return batched_pie_forward(
+            ctx, rk, tok(idx, token), minus, table, mask,
+            use_kernel=use_kernel,
+            mul_limbs=pie.mul_limbs, ship_limbs=pie.ship_limbs,
+        ).data
+
     ctx.mulconv  # build the HPS converter before tracing _hps_mul_impl
     ip0 = f_pos(idx_ct.data, pie.table_pt, jnp.uint32(0))
     ip0 = add_mod(ip0, minus_ct.data[None, None], ctx.p)
@@ -110,6 +121,11 @@ def main():
     results["mask"] = _ms(f_mask, (ct2, pie.mask_pt))
     results["full"] = _ms(f_full, (idx_ct.data, minus_ct.data, pie.table_pt,
                                    pie.mask_pt, rlk))
+    if pie.mul_limbs:
+        results["full_rescaled"] = _ms(
+            f_full_rescaled,
+            (idx_ct.data, minus_ct.data, pie.table_pt, pie.mask_pt, rlk),
+        )
     total = time.perf_counter() - t0
     for k, v in results.items():
         print(f"{k:>8}: {v:8.2f} ms", flush=True)

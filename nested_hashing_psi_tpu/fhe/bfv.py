@@ -109,7 +109,14 @@ class BFVContext(BGVContext):
             return intt_pallas(x, self._split_plan_aux)
         return intt(x, self.mulconv.plan_aux)
 
-    def _hps_mul_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    def _hps_core(self, a_data, b_data, ab_coeffs=None) -> jnp.ndarray:
+        """Textbook HPS product core: NTT-domain operands (each (..., 2, L, N))
+        -> coefficient-domain product over q, (..., 3, L, N).
+
+        ab_coeffs, when given, is the stacked (2, ..., 2, L, N)
+        coefficient-domain view of the operands (callers that already
+        inverse-transformed them -- e.g. the rescaled PIE path -- skip the
+        iNTT here)."""
         mc = self._mulconv
         plan_aux = mc.plan_aux
         p_aux = jnp.asarray(plan_aux.p_arr)
@@ -120,16 +127,144 @@ class BFVContext(BGVContext):
         # (~3x the unfused XLA stages at these shapes; see BENCH_NOTES.md).
         # Both operands ride ONE stacked transform per direction: better
         # kernel-grid utilization than two half-sized calls.
-        ab = jnp.stack([a.data, b.data], axis=0)
-        eab = self._ntt_fast_aux(mc.extend_q_to_aux(self._intt_fast(ab)))
+        if ab_coeffs is None:
+            ab_coeffs = self._intt_fast(jnp.stack([a_data, b_data], axis=0))
+        eab = self._ntt_fast_aux(mc.extend_q_to_aux(ab_coeffs))
         ea, eb = eab[0], eab[1]
         # tensor products over both bases
-        d_q = tensor_product(a.data, b.data, self.p, self.pinv, self.r2)
+        d_q = tensor_product(a_data, b_data, self.p, self.pinv, self.r2)
         d_aux = tensor_product(ea, eb, p_aux, pinv_aux, r2_aux)
         # scale by t/q with rounding, exact-convert back to q
         y = mc.scale_round(self._intt_fast(d_q), self._intt_fast_aux(d_aux))
-        out = self._ntt_fast(mc.exact_to_q(y))
+        return mc.exact_to_q(y)
+
+    def _hps_mul_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        out = self._ntt_fast(self._hps_core(a.data, b.data))
         return Ciphertext(out, "bfv", a.scale * b.scale % self.t)
+
+    def ct_ct_mul_relin(self, a: Ciphertext, b: Ciphertext, rlk) -> Ciphertext:
+        """Fused EvalMult + relinearization for BFV-form operands: the HPS
+        product's d2 component stays in coefficient domain and feeds the
+        relin gadget decompose directly, skipping its forward NTT and the
+        decompose's inverse NTT (2*L limb transforms per call)."""
+        if a.form == "bfv" and b.form == "bfv":
+            self.mulconv
+            return self._jit("bfv_hps_mul_relin", self._hps_mul_relin_impl)(
+                a, b, rlk
+            )
+        return super().ct_ct_mul_relin(a, b, rlk)
+
+    def _hps_mul_relin_impl(self, a: Ciphertext, b: Ciphertext, rlk) -> Ciphertext:
+        from nested_hashing_psi_tpu.ops.modmath import add_mod
+
+        y = self._hps_core(a.data, b.data)  # (..., 3, L, N) coeff domain
+        d01 = self._ntt_fast(y[..., :2, :, :])
+        ks0, ks1 = self._key_switch_coeffs(y[..., 2, :, :], rlk)
+        data = jnp.stack(
+            [
+                add_mod(d01[..., 0, :, :], ks0, self.p),
+                add_mod(d01[..., 1, :, :], ks1, self.p),
+            ],
+            axis=-3,
+        )
+        return Ciphertext(data, "bfv", a.scale * b.scale % self.t)
+
+    # ------------------------------------------------------------------
+    # drop-limb rescale (BFV modulus switch) + the rescaled mult pipeline
+    # ------------------------------------------------------------------
+    def _rescaler(self, n_limbs: int):
+        """Cached exact RNS rescale from this context's basis to its first
+        n_limbs primes (ops.basis.RNSRescale; numpy constants, trace-safe)."""
+        if not hasattr(self, "_rescalers"):
+            self._rescalers: dict[int, "RNSRescale"] = {}
+        if n_limbs not in self._rescalers:
+            from nested_hashing_psi_tpu.ops.basis import RNSRescale
+
+            self._rescalers[n_limbs] = RNSRescale(self.q_primes, self.L - n_limbs)
+        return self._rescalers[n_limbs]
+
+    def rescale_coeffs(self, coeffs: jnp.ndarray, n_limbs: int) -> jnp.ndarray:
+        """(..., L, N) coefficient-domain -> (..., n_limbs, N) over the
+        child basis (exact integer rescale; see RNSRescale)."""
+        assert 1 <= n_limbs < self.L
+        return self._rescaler(n_limbs).rescale(coeffs)
+
+    def rescale_ct(self, ct: Ciphertext, n_limbs: int) -> Ciphertext:
+        """Modulus-switch a BFV-form ciphertext down to n_limbs limbs.
+        Noise: e' ~ e/qd + t*small (fhe.params.bfv_mul_limbs model)."""
+        assert ct.form == "bfv"
+        if n_limbs >= self.L:
+            return ct
+        child = self.context_for_limbs(n_limbs)
+        self._rescaler(n_limbs)
+
+        def impl(ct):
+            coeffs = self._intt_fast(ct.data)
+            return Ciphertext(
+                child._ntt_fast(self.rescale_coeffs(coeffs, n_limbs)),
+                ct.form,
+                ct.scale,
+            )
+
+        return self._jit(f"rescale_{n_limbs}", impl)(ct)
+
+    def hps_mul_relin_rescaled(
+        self,
+        a: Ciphertext,
+        b: Ciphertext,
+        rlk,
+        mul_limbs: int,
+        ship_limbs: int | None = None,
+        a_limbs: int | None = None,
+    ) -> Ciphertext:
+        """EvalMult + relin with both operands first rescaled to mul_limbs
+        limbs, fully fused: the operands' inverse transforms feed the
+        rescale, whose output feeds both the q'-side forward NTT and the
+        HPS base extension directly. Optionally rescales the product once
+        more to ship_limbs (the wire/decrypt basis).
+
+        a may already live on a smaller basis (a_limbs, chained H > 2
+        multiplications); b is always on the full basis. Trace-safe: call
+        under the caller's jit. rlk is the FULL-basis relin key; it is
+        shrunk to the mult basis here (RNS-CRT gadget keys restrict to
+        prefix bases, bgv.BGVContext.shrink_relin_key)."""
+        from nested_hashing_psi_tpu.ops.modmath import add_mod
+
+        assert a.form == "bfv" and b.form == "bfv"
+        mctx = self.context_for_limbs(mul_limbs)
+        mctx.mulconv
+        a_L = a.data.shape[-2] if a_limbs is None else a_limbs
+        if a_L == self.L and b.data.shape[-2] == self.L:
+            ab_coeffs = self._intt_fast(jnp.stack([a.data, b.data], axis=0))
+            ab_m = self.rescale_coeffs(ab_coeffs, mul_limbs)
+        else:
+            actx = self.context_for_limbs(a_L)
+            a_c = actx._intt_fast(a.data)
+            a_m = (
+                actx.rescale_coeffs(a_c, mul_limbs)
+                if a_L > mul_limbs
+                else a_c
+            )
+            b_m = self.rescale_coeffs(self._intt_fast(b.data), mul_limbs)
+            ab_m = jnp.stack([a_m, b_m], axis=0)
+        ntt_m = mctx._ntt_fast(ab_m)
+        y = mctx._hps_core(ntt_m[0], ntt_m[1], ab_coeffs=ab_m)
+        d01 = mctx._ntt_fast(y[..., :2, :, :])
+        rlk_m = self.shrink_relin_key(rlk, mul_limbs)
+        ks0, ks1 = mctx._key_switch_coeffs(y[..., 2, :, :], rlk_m)
+        data = jnp.stack(
+            [
+                add_mod(d01[..., 0, :, :], ks0, mctx.p),
+                add_mod(d01[..., 1, :, :], ks1, mctx.p),
+            ],
+            axis=-3,
+        )
+        scale = a.scale * b.scale % self.t
+        if ship_limbs is not None and ship_limbs < mul_limbs:
+            sctx = self.context_for_limbs(ship_limbs)
+            coeffs = mctx._intt_fast(data)
+            data = sctx._ntt_fast(mctx.rescale_coeffs(coeffs, ship_limbs))
+        return Ciphertext(data, "bfv", scale)
 
     def _relinearize_impl(self, ct: Ciphertext, rlk) -> Ciphertext:
         """BGV-form products (the t-scaling bridge) must be Delta-lifted to

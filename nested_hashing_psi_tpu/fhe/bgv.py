@@ -49,15 +49,21 @@ U32 = jnp.uint32
 def tensor_product(a, b, p, pinv, r2):
     """(c0 + c1*s) x (d0 + d1*s) over one RNS base, NTT domain:
     a, b uint32 (..., 2, L, N) -> (..., 3, L, N)."""
+    b0m = to_mont(b[..., 0, :, :], p, pinv, r2)
+    b1m = to_mont(b[..., 1, :, :], p, pinv, r2)
+    return tensor_product_mont(a, b0m, b1m, p, pinv)
+
+
+def tensor_product_mont(a, b0m, b1m, p, pinv):
+    """tensor_product with the second operand's components already in
+    Montgomery form. Karatsuba: 3 REDC multiplies instead of 4 (the middle
+    term from (a0+a1)(b0+b1) - d0 - d2; Montgomery form is linear, so the
+    operand sums stay valid REDC inputs)."""
     a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
-    b0, b1 = b[..., 0, :, :], b[..., 1, :, :]
-    b0m = to_mont(b0, p, pinv, r2)
-    b1m = to_mont(b1, p, pinv, r2)
     d0 = mont_mul(a0, b0m, p, pinv)
-    d1 = add_mod(
-        mont_mul(a0, b1m, p, pinv), mont_mul(a1, b0m, p, pinv), p
-    )
     d2 = mont_mul(a1, b1m, p, pinv)
+    mid = mont_mul(add_mod(a0, a1, p), add_mod(b0m, b1m, p), p, pinv)
+    d1 = sub_mod(sub_mod(mid, d0, p), d2, p)
     return jnp.stack([d0, d1, d2], axis=-3)
 
 
@@ -372,7 +378,16 @@ class BGVContext:
         return intt(phase, self.plan)
 
     def decrypt(self, ct: Ciphertext, sk: SecretKey, length: int | None = None):
-        """Full decrypt to slot values in [0, t). Returns (slots, noise_bits)."""
+        """Full decrypt to slot values in [0, t). Returns (slots, noise_bits).
+
+        Ciphertexts on a smaller basis (leveled / rescaled pipelines ship
+        fewer limbs) are decrypted in the matching child context with the
+        shrunk key automatically."""
+        n_limbs = ct.data.shape[-2]
+        if n_limbs < self.L:
+            return self.context_for_limbs(n_limbs).decrypt(
+                ct, self.shrink_key_to(sk, n_limbs), length
+            )
         phase = np.asarray(self.decrypt_phase(ct, sk), dtype=np.uint64)
         if ct.form == "bgv":
             coeffs, noise_bits = self._phase_to_mt(phase)
@@ -510,9 +525,15 @@ class BGVContext:
     def _key_switch(self, poly_ntt: jnp.ndarray, ksk: RelinKey):
         """Key-switch a polynomial under the gadget key: returns (d0, d1)
         with d0 + d1*s = poly * <key target> (+ small noise)."""
+        return self._key_switch_coeffs(self._intt_fast(poly_ntt), ksk)
+
+    def _key_switch_coeffs(self, poly_coeffs: jnp.ndarray, ksk: RelinKey):
+        """_key_switch fed coefficient-domain input directly -- the fused
+        HPS ct x ct + relin path produces d2 in coefficient domain, so the
+        decompose's iNTT (and the producer's forward NTT) are skipped."""
         from nested_hashing_psi_tpu.ops.modmath import modsum
 
-        dig = self._rns_decompose(poly_ntt)  # (..., L_dig, L, N) NTT domain
+        dig = self._rns_decompose_coeffs(poly_coeffs)  # (..., L_dig, L, N) NTT
         d0 = modsum(mont_mul(dig, ksk.b_mont, self.p, self.pinv), self.p, axis=-3)
         d1 = modsum(mont_mul(dig, ksk.a_mont, self.p, self.pinv), self.p, axis=-3)
         return d0, d1
@@ -732,7 +753,10 @@ class BGVContext:
         back in NTT domain: (..., L_dig, L, N). The decompose iNTT + L_dig
         digit NTTs dominate relinearization (SURVEY hard part #2), so they
         run on the fused Pallas path on TPU."""
-        coeffs = self._intt_fast(d2)  # (..., L, N), limb k holds [x]_{q_k}
+        return self._rns_decompose_coeffs(self._intt_fast(d2))
+
+    def _rns_decompose_coeffs(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """_rns_decompose from coefficient-domain input (..., L, N)."""
         dk = coeffs[..., :, None, :]              # (..., L_dig, 1, N)
         big = dk > self.q_half[:, None, :]        # centered lift sign
         # cross-prime re-reduction: residue < 2**31 < 2*q_j (31-bit primes),

@@ -128,6 +128,46 @@ def default_num_limbs(
     return max(2, math.ceil((mask + margin) / LIMB_BITS))
 
 
+def bfv_mul_limbs(t_bits: int, num_limbs: int, n_ct_mults: int = 1) -> int:
+    """Mult-basis limb count for the *rescaled* BFV PIE pipeline.
+
+    The batched PIE applies the per-depth mask BEFORE the cross-hash
+    multiplication chain (mask * ip_0 * ... * ip_{H-1} -- the same product,
+    reassociated), so after rescaling the operands down to this basis the
+    only remaining noise growth is the HPS multiplications themselves:
+
+      post-rescale floor ~ t * small   (delta*m + centered s-rounding)
+      each HPS mult      + t_bits + logn + 2
+      decrypt            noise < Delta'/2 = q_mul / (2t)
+
+    Worst-case model with a 20-bit margin; validated empirically by
+    tests/test_bfv_rescale.py noise checks.
+    """
+    import math
+
+    logn = 14
+    floor_noise = t_bits + 13
+    need = (
+        floor_noise
+        + max(1, n_ct_mults) * (t_bits + logn + 2)
+        + t_bits
+        + 1
+        + 20
+    )
+    return max(2, min(num_limbs, math.ceil(need / 31)))
+
+
+def bfv_ship_limbs(t_bits: int, mul_limbs: int) -> int:
+    """Shipped-result limb count: one more rescale after the final
+    multiplication drops the result to the smallest basis whose decrypt
+    budget still clears the post-rescale floor (same model as above)."""
+    import math
+
+    floor_noise = t_bits + 13
+    need = floor_noise + t_bits + 1 + 20
+    return max(2, min(mul_limbs, math.ceil(need / 31)))
+
+
 @dataclass(frozen=True)
 class SchemeParams:
     """Parameters for one BGV/BFV context instance."""
@@ -153,7 +193,12 @@ class SchemeParams:
             out *= p
         return out
 
-    def validate_security(self) -> None:
+    def validate_security(self, allow_insecure: bool = False) -> None:
+        """Enforce the HEStd_128_classic log2(q) bound for every tabled ring
+        dimension (1024..32768). allow_insecure is the explicit escape for
+        small-ring tests; production paths never set it."""
+        if allow_insecure:
+            return
         max_bits = MAX_LOG_Q_128.get(self.ring_dim)
         if max_bits is not None and self.q.bit_length() > max_bits:
             raise ValueError(
@@ -180,6 +225,46 @@ class SchemeParams:
             num_limbs=limbs,
             scheme=scheme,
         )
-        if ring_dim == 16384:
-            p.validate_security()
+        p.validate_security()
         return p
+
+
+# Ring dimensions the framework supports end-to-end (power-of-two negacyclic
+# NTT plans; the HEStd table covers 1024..32768, smaller dims are test-only).
+SUPPORTED_RING_DIMS = frozenset(
+    1 << k for k in range(4, 16)
+)
+MAX_WIRE_LIMBS = 32  # ceiling on peer-requested limb counts (resource bound)
+
+
+def validate_wire_scheme_params(
+    ring_dim: int, t: int, num_limbs: int, scheme: str
+) -> SchemeParams:
+    """Sanity-validate peer-supplied scheme parameters BEFORE constructing a
+    context from them (a hostile client could otherwise demand absurd limb
+    counts or ring dims -- a resource-exhaustion vector the reference avoids
+    because OpenFHE validates its deserialized contexts). Returns the
+    validated SchemeParams; raises ValueError on any violation, including
+    the HEStd_128 bound for tabled ring dims."""
+    if scheme not in ("bgv", "bfv"):
+        raise ValueError(f"unknown scheme {scheme!r} from peer")
+    if ring_dim not in SUPPORTED_RING_DIMS:
+        raise ValueError(f"unsupported ring dimension {ring_dim} from peer")
+    if not (1 <= num_limbs <= MAX_WIRE_LIMBS):
+        raise ValueError(
+            f"limb count {num_limbs} outside [1, {MAX_WIRE_LIMBS}]"
+        )
+    if not (2 <= t < 1 << 50):
+        raise ValueError(f"plaintext modulus {t} outside supported range")
+    if (t - 1) % (2 * ring_dim) != 0:
+        raise ValueError(
+            f"plaintext modulus {t} is not NTT-friendly for ring {ring_dim}"
+        )
+    sp = SchemeParams(
+        ring_dim=ring_dim,
+        plaintext_modulus=t,
+        num_limbs=num_limbs,
+        scheme=scheme,
+    )
+    sp.validate_security()
+    return sp

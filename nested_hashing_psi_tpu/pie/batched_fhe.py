@@ -59,6 +59,8 @@ def batched_pie_forward(
     use_kernel: bool = False,
     leveled: bool = False,
     pos_chunk: int | None = None,
+    mul_limbs: int | None = None,
+    ship_limbs: int | None = None,
 ) -> jnp.ndarray:
     """Depth-vectorized batched-PIE online step: used for the compile-check
     entry point, device-mesh sharding (depths = DP, limbs = TP; jnp path --
@@ -71,11 +73,19 @@ def batched_pie_forward(
     BatchedFHEPSIClient.cpp:44-57): every ct is dropped one limb before each
     multiplication, so the expensive tensor products and relinearizations run
     at a shrinking limb count and the result ships with L - (H-1) limbs.
+
+    mul_limbs (BFV): the rescaled-mult pipeline -- masks are applied before
+    the cross-hash chain, both operands are modulus-switched down to
+    mul_limbs limbs, and HPS + relin run on that smaller basis (see
+    fhe.params.bfv_mul_limbs); ship_limbs rescales the result once more.
     """
     ip = position_sum(
         ctx, idx_data, table_pt, use_kernel=use_kernel, pos_chunk=pos_chunk
     )
-    return combine_ip(ctx, rlk, ip, minus_data, mask_pt, leveled=leveled)
+    return combine_ip(
+        ctx, rlk, ip, minus_data, mask_pt, leveled=leveled,
+        mul_limbs=mul_limbs, ship_limbs=ship_limbs,
+    )
 
 
 def position_sum(
@@ -126,11 +136,34 @@ def combine_ip(
     minus_data: jnp.ndarray,  # (2, L, N)
     mask_pt: jnp.ndarray,     # (D, L, N)
     leveled: bool = False,
+    mul_limbs: int | None = None,
+    ship_limbs: int | None = None,
 ) -> Ciphertext:
     """Finish the PIE: add -elem, multiply across hash functions (+relin,
     optionally mod-switching down a level per mult), apply the masks."""
     H = ip.shape[0]
     ip = add_mod(ip, minus_data[None, None], ctx.p)
+    if mul_limbs is not None and mul_limbs < ctx.L and H > 1:
+        # Rescaled BFV pipeline: reassociate the product as
+        # (mask * ip_0) * ip_1 * ... -- the mask (a ct x pt) costs its noise
+        # on the full basis, where budget is plentiful, and the expensive
+        # cross-hash HPS multiplications then run on the mul_limbs basis.
+        assert ctx.default_form == "bfv", "mul_limbs is the BFV rescaled path"
+        masked = mont_mul(ip[0], mask_pt[:, None], ctx.p, ctx.pinv)
+        acc = Ciphertext(masked, "bfv", 1)
+        cur = ctx.L
+        for h in range(1, H):
+            last = h == H - 1
+            acc = ctx.hps_mul_relin_rescaled(
+                acc,
+                Ciphertext(ip[h], "bfv", 1),
+                rlk,
+                mul_limbs,
+                ship_limbs=ship_limbs if last else None,
+                a_limbs=cur,
+            )
+            cur = mul_limbs
+        return acc
     # intermediate ciphertexts carry the context's native form (bgv/bfv)
     acc = Ciphertext(ip[0], ctx.default_form, 1)  # batched over D
     if not leveled or H == 1:
@@ -184,6 +217,8 @@ class BatchedFHEPIE:
         rlk: RelinKey,
         mask_seed: int | None = None,
         leveled: bool = False,
+        mul_limbs: int | None = None,
+        ship_limbs: int | None = None,
     ):
         if hct.server_stash_size != 0:
             raise ValueError("batched FHE PIE does not support a stash")
@@ -198,6 +233,41 @@ class BatchedFHEPIE:
             )
             assert ctx.L - (self.H - 1) >= 2, "not enough limbs for the chain"
         self.leveled = leveled
+        # Rescaled-mult basis (BFV): None = auto from the noise model,
+        # 0 = disabled. The cross-hash HPS mults + relin then run on
+        # mul_limbs limbs and the result ships on ship_limbs (fhe.params).
+        if ctx.default_form == "bfv" and self.H > 1:
+            from nested_hashing_psi_tpu.fhe.params import (
+                bfv_mul_limbs,
+                bfv_ship_limbs,
+            )
+
+            if mul_limbs is None:
+                mul_limbs = bfv_mul_limbs(
+                    ctx.t.bit_length(), ctx.L, self.H - 1
+                )
+            if mul_limbs and mul_limbs < ctx.L:
+                self.mul_limbs = mul_limbs
+                self.ship_limbs = (
+                    bfv_ship_limbs(ctx.t.bit_length(), mul_limbs)
+                    if ship_limbs is None
+                    else ship_limbs
+                )
+                # eager construction: child contexts / converters /
+                # rescalers hold device constants that must exist before
+                # the online jit traces
+                mctx = ctx.context_for_limbs(self.mul_limbs)
+                mctx.mulconv
+                ctx._rescaler(self.mul_limbs)
+                if self.ship_limbs < self.mul_limbs:
+                    ctx.context_for_limbs(self.ship_limbs)
+                    mctx._rescaler(self.ship_limbs)
+            else:
+                self.mul_limbs = None
+                self.ship_limbs = None
+        else:
+            self.mul_limbs = None
+            self.ship_limbs = None
         self.D = hct.max_items_per_position
         self.P = hct.each_cuckoo_table_size
         self.batch_slots = hct.n_simple_tables * hct.each_simple_table_size
@@ -254,6 +324,8 @@ class BatchedFHEPIE:
                     msk,
                     use_kernel=use_kernel,
                     leveled=self.leveled,
+                    mul_limbs=self.mul_limbs,
+                    ship_limbs=self.ship_limbs,
                 )
             )
         return self._run(
@@ -289,6 +361,8 @@ class BatchedFHEPIE:
                 return combine_ip(
                     self.ctx, rk, ip, minus_data, mask_pt,
                     leveled=self.leveled,
+                    mul_limbs=self.mul_limbs,
+                    ship_limbs=self.ship_limbs,
                 )
 
             self._stream_jits = (

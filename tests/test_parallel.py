@@ -87,7 +87,9 @@ def test_sp_sharded_pie_matches_unsharded(scheme):
     )
     sk, _ = ctx.keygen()
     rlk = ctx.relin_keygen(sk)
-    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=11)
+    # mul_limbs=0: the sharded step computes on the full basis; compare like
+    # with like (the rescaled pipeline is covered by test_bfv_rescale.py)
+    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=11, mul_limbs=0)
     ct_table = CuckooHashTable(hasher, 16, 2, max_items_per_position=1, seed=12)
     ct_table.insert_all(items_from_ints([305, 999]))
     ops = BatchedFHEClientOps(ctx, ct_table, 2, 2, 8)
@@ -240,7 +242,9 @@ def test_pp_pipelined_pie_matches_unsharded(scheme):
     )
     sk, _ = ctx.keygen()
     rlk = ctx.relin_keygen(sk)
-    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=23)
+    # mul_limbs=0: compare on the full basis (rescaled pipeline covered by
+    # test_bfv_rescale.py)
+    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=23, mul_limbs=0)
     ct_table = CuckooHashTable(hasher, 16, 2, max_items_per_position=1, seed=24)
     ct_table.insert_all(items_from_ints([705, 9999]))
     ops = BatchedFHEClientOps(ctx, ct_table, 2, 2, 8)

@@ -30,14 +30,16 @@ def test_indexed_inner_product_matches_reference():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
 
 
-def test_indexed_inner_product_northstar_geometry_tile_shrink():
-    """D = P = 48 (the 2^24 geometry's inner table): exercises the automatic
-    tile_n shrink that bounds the double-buffered table block. N = 4096 so
-    the default tile (2048) puts the table block at D*P*2048*4 = 18.9 MB,
-    above the 8 MB budget -- the while-loop must halve it twice (to 512)
-    and the N % tile_n == 0 path is genuinely covered."""
-    H, D, P, L, N = 1, 48, 48, 1, 4096
-    assert D * P * min(2048, N) * 4 > (8 << 20), "geometry must force a shrink"
+def test_indexed_inner_product_tile_shrink():
+    """Exercises the automatic tile_n shrink that bounds the double-buffered
+    table block: an oversized explicit tile (32768) exceeds the 8 MB budget
+    at D = P = 12, so the while-loop must halve it down to 2048 and the
+    N % tile_n == 0 path is genuinely covered. (Keeping D small keeps the
+    interpret-mode XLA program compilable in CI -- a D = 48 unroll was
+    measured to blow the CPU compile up to an hour.)"""
+    H, D, P, L, N = 1, 12, 12, 1, 32768
+    tile_req = N
+    assert D * P * tile_req * 4 > (8 << 20), "geometry must force a shrink"
     ps = primes.ntt_primes(L, 31, 2 * N)
     p = jnp.asarray(np.array(ps, np.uint32).reshape(L, 1))
     pinv = jnp.asarray(
@@ -51,5 +53,5 @@ def test_indexed_inner_product_northstar_geometry_tile_shrink():
         rng.integers(0, min(ps), size=(H, D, P, L, N), dtype=np.uint64), jnp.uint32
     )
     expected = indexed_inner_product_jnp(idx, pt, p, pinv)
-    got = indexed_inner_product(idx, pt, p, pinv)
+    got = indexed_inner_product(idx, pt, p, pinv, tile_n=tile_req)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
