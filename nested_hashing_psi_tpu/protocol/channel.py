@@ -23,6 +23,21 @@ import numpy as np
 
 _MAGIC = b"NHP1"
 
+# The wire carries exactly these element types (ciphertext limb tensors,
+# parameter/meta vectors, compressed EC point bytes). Anything else from the
+# peer is rejected -- np.dtype() on an arbitrary wire string is an attack
+# surface (object dtypes, huge itemsizes).
+_ALLOWED_DTYPES = ("<u4", "<u8", "<i8", "|u1")
+_MAX_NDIM = 8
+# Hard ceiling on a single message (largest legitimate frames are streamed
+# ciphertext chunks / checkpoint tensors, well under this).
+MAX_MSG_BYTES = 1 << 34
+
+
+class WireFormatError(ValueError):
+    """Malformed or out-of-policy data from the peer (never an assert: the
+    wire is untrusted input and must fail loudly under python -O too)."""
+
 
 def tensor_to_bytes(arr: np.ndarray) -> bytes:
     arr = np.ascontiguousarray(arr)
@@ -34,16 +49,38 @@ def tensor_to_bytes(arr: np.ndarray) -> bytes:
 
 
 def tensor_from_bytes(buf: bytes) -> np.ndarray:
+    if len(buf) < 6:
+        raise WireFormatError(f"tensor frame too short ({len(buf)} bytes)")
     magic, dt_len = struct.unpack_from("<4sB", buf, 0)
-    assert magic == _MAGIC, "bad tensor frame"
+    if magic != _MAGIC:
+        raise WireFormatError(f"bad tensor frame magic {magic!r}")
     off = 5
-    dt = buf[off : off + dt_len].decode()
+    if len(buf) < off + dt_len + 1:
+        raise WireFormatError("truncated tensor frame header")
+    dt = buf[off : off + dt_len].decode("ascii", errors="replace")
+    if dt not in _ALLOWED_DTYPES:
+        raise WireFormatError(f"disallowed wire dtype {dt!r}")
     off += dt_len
     (ndim,) = struct.unpack_from("<B", buf, off)
+    if ndim > _MAX_NDIM:
+        raise WireFormatError(f"tensor rank {ndim} exceeds limit {_MAX_NDIM}")
     off += 1
+    if len(buf) < off + 8 * ndim:
+        raise WireFormatError("truncated tensor frame shape")
     shape = struct.unpack_from(f"<{ndim}q", buf, off)
+    if any(s < 0 for s in shape):
+        raise WireFormatError(f"negative dimension in wire shape {shape}")
     off += 8 * ndim
-    return np.frombuffer(buf, dtype=np.dtype(dt), offset=off).reshape(shape)
+    dtype = np.dtype(dt)
+    count = 1
+    for s in shape:
+        count *= s
+    if len(buf) - off != count * dtype.itemsize:
+        raise WireFormatError(
+            f"tensor payload size {len(buf) - off} does not match shape "
+            f"{shape} of {dt}"
+        )
+    return np.frombuffer(buf, dtype=dtype, offset=off, count=count).reshape(shape)
 
 
 class Channel:
@@ -73,6 +110,15 @@ class Channel:
 
     def close(self) -> None:
         pass
+
+
+class _Poison:
+    """Sentinel a failing party injects so its peer's blocking reads raise
+    instead of waiting forever (a server-side exception must not deadlock an
+    in-process client)."""
+
+
+_POISON = _Poison()
 
 
 class LoopbackChannel(Channel):
@@ -108,9 +154,16 @@ class LoopbackChannel(Channel):
         self.bytes_out += len(payload) + 8
         self._outbox.put(bytes(payload))
 
+    def poison(self) -> None:
+        """Unblock the peer: its next read raises ConnectionError."""
+        self._outbox.put(_POISON)
+
     def read_msg(self) -> bytes:
         msg = self._inbox.get()
-        assert isinstance(msg, bytes), "tensor frame read as raw message"
+        if msg is _POISON:
+            raise ConnectionError("peer failed (poisoned loopback channel)")
+        if not isinstance(msg, bytes):
+            raise WireFormatError("tensor frame read as raw message")
         self.bytes_in += len(msg) + 8
         return msg
 
@@ -124,11 +177,14 @@ class LoopbackChannel(Channel):
 
     def read_tensor(self):
         msg = self._inbox.get()
+        if msg is _POISON:
+            raise ConnectionError("peer failed (poisoned loopback channel)")
         if isinstance(msg, tuple) and msg[0] == "tensor":
             arr = msg[1]
             self.bytes_in += arr.nbytes + 8
             return arr
-        assert isinstance(msg, bytes)
+        if not isinstance(msg, bytes):
+            raise WireFormatError("unexpected in-process message type")
         self.bytes_in += len(msg) + 8
         return tensor_from_bytes(msg)
 
@@ -180,6 +236,11 @@ class TCPChannel(Channel):
     def read_msg(self) -> bytes:
         size_buf = self._read_exact(8)
         (size,) = struct.unpack("<Q", size_buf)
+        if size > MAX_MSG_BYTES:
+            # the length prefix is untrusted: never allocate from it blindly
+            raise WireFormatError(
+                f"message length {size} exceeds limit {MAX_MSG_BYTES}"
+            )
         payload = self._read_exact(size)
         self.bytes_in += 8 + size
         return payload

@@ -93,9 +93,15 @@ class _ElGamalClientBase(PSIClientBase):
         self.channel.write_msg(b"".join(self.enc.ct_to_bytes(c) for c in cts))
 
     def _recv_cts(self, count: int) -> list[ElGamalCiphertext]:
+        from nested_hashing_psi_tpu.protocol.channel import WireFormatError
+
         data = self.channel.read_msg()
         k = 2 * (self.enc.group.nbytes + 1)
-        assert len(data) == count * k
+        if len(data) != count * k:
+            raise WireFormatError(
+                f"ciphertext batch of {len(data)} bytes, expected "
+                f"{count} x {k}"
+            )
         return self.enc.cts_from_bytes(data, count)
 
     def _receive_and_extract(self) -> None:
@@ -147,10 +153,50 @@ class _ElGamalServerBase(PSIServerBase):
         self.channel.write_msg(b"".join(self.enc.ct_to_bytes(c) for c in cts))
 
     def _recv_cts(self, count: int) -> list[ElGamalCiphertext]:
+        from nested_hashing_psi_tpu.protocol.channel import WireFormatError
+
         data = self.channel.read_msg()
         k = 2 * (self.enc.group.nbytes + 1)
-        assert len(data) == count * k
+        if len(data) != count * k:
+            raise WireFormatError(
+                f"ciphertext batch of {len(data)} bytes, expected "
+                f"{count} x {k}"
+            )
         return self.enc.cts_from_bytes(data, count)
+
+    def _run_pies_threaded(self, recv_inputs, job):
+        """Online-phase engine honoring --nThreads (the reference runs PIE
+        collections on boost::thread pools, ElGamalPSIServer.hpp:62-80).
+
+        recv_inputs(pie) -> args reads one PIE's wire input (serial: wire
+        order is the protocol); job(pie, *args) -> results runs its EC
+        compute, submitted to a worker pool as its input arrives -- compute
+        overlaps the remaining receives. Safe because each PIE owns its
+        randomness (SystemRandom) and the native EC batch calls release the
+        GIL (pure compute, ctypes). Returns (ordered results, compute_us:
+        wall-clock of the receive+compute section for nThreads > 1, summed
+        pure compute for the serial path -- matching the reference's
+        accounting, which also overlaps receive with compute)."""
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_threads = max(1, min(self.params.number_of_threads, self.n_pies))
+        if n_threads == 1:
+            compute_us = 0
+            results = []
+            for pie in self.pies:
+                args = recv_inputs(pie)
+                begin = _time.monotonic_ns()
+                results.append(job(pie, *args))
+                compute_us += (_time.monotonic_ns() - begin) // 1000
+            return results, compute_us
+        begin = _time.monotonic_ns()
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            futures = [
+                ex.submit(job, pie, *recv_inputs(pie)) for pie in self.pies
+            ]
+            results = [f.result() for f in futures]
+        return results, (_time.monotonic_ns() - begin) // 1000
 
 
 # ---------------------------------------------------------------------------
@@ -215,19 +261,21 @@ class SimpleElGamalPSIServer(_ElGamalServerBase):
     def run_online_phase(self) -> None:
         ht = self.ht
         per_pos = ht.n_cuckoo_hash_functions * ht.each_cuckoo_table_size
-        compute_us = 0
-        all_results = []
-        for pie in self.pies:
+
+        def recv_inputs(pie):
             flat = self._recv_cts(per_pos)
             minus = self._recv_cts(1)[0]
-            begin = time.monotonic_ns()
+            return flat, minus
+
+        def job(pie, flat, minus):
             pie.index_matrix = [
                 flat[h * ht.each_cuckoo_table_size : (h + 1) * ht.each_cuckoo_table_size]
                 for h in range(ht.n_cuckoo_hash_functions)
             ]
             pie.minus_elem = minus
-            all_results.append(pie.run())
-            compute_us += (time.monotonic_ns() - begin) // 1000
+            return pie.run()
+
+        all_results, compute_us = self._run_pies_threaded(recv_inputs, job)
         for res in all_results:
             self._send_cts(res)
         self.online_computation_us = compute_us
@@ -317,15 +365,16 @@ class PrecompElGamalPSIServer(_ElGamalServerBase):
         self.offline_computation_us = (time.monotonic_ns() - begin) // 1000
 
     def run_online_phase(self) -> None:
-        compute_us = 0
-        all_results = []
-        for pie in self.pies:
+        def recv_inputs(pie):
             bits = np.frombuffer(self.channel.read_msg(), dtype=np.uint8)
             minus = self._recv_cts(1)[0]
-            begin = time.monotonic_ns()
+            return bits, minus
+
+        def job(pie, bits, minus):
             pie.minus_elem = minus
-            all_results.append(pie.run(bits))
-            compute_us += (time.monotonic_ns() - begin) // 1000
+            return pie.run(bits)
+
+        all_results, compute_us = self._run_pies_threaded(recv_inputs, job)
         for res in all_results:
             self._send_cts(res)
         self.online_computation_us = compute_us

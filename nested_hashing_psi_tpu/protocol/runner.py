@@ -88,10 +88,19 @@ def run_in_process(
             server.run()
         except BaseException as e:  # propagate to the main thread
             errors.append(e)
+            # unblock the client: its next channel read raises instead of
+            # waiting forever on a peer that already died
+            ch_server.poison()
 
     th = threading.Thread(target=server_run, daemon=True)
     th.start()
-    ok = client.run()
+    try:
+        ok = client.run()
+    except ConnectionError:
+        th.join(timeout=600)
+        if errors:
+            raise errors[0] from None
+        raise
     th.join(timeout=600)
     if errors:
         raise errors[0]

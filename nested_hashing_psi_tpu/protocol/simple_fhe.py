@@ -49,8 +49,8 @@ def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
     sp = SchemeParams(
         ring_dim=psi.ring_dim, plaintext_modulus=t, num_limbs=limbs, scheme=scheme
     )
-    if psi.ring_dim == 16384:
-        sp.validate_security()
+    # HEStd_128 bound for every tabled ring dim (1024..32768)
+    sp.validate_security()
     return sp
 
 
@@ -145,16 +145,17 @@ class SimpleFHEPSIServer(PSIServerBase):
             p.hash_seed, ht.n_simple_hash_functions + ht.n_cuckoo_hash_functions
         )
         meta = self.channel.read_tensor()
+        if meta.shape != (4,):
+            raise ValueError(f"malformed scheme-params frame {meta.shape}")
         ring_dim, t, limbs, is_bgv = (int(v) for v in meta)
-        self.ctx = make_context(
-            SchemeParams(
-                ring_dim=ring_dim,
-                plaintext_modulus=t,
-                num_limbs=limbs,
-                scheme="bgv" if is_bgv else "bfv",
-            ),
-            seed=None,
+        # peer-supplied parameters are untrusted: bound them before building
+        # a context (fhe.params.validate_wire_scheme_params)
+        from nested_hashing_psi_tpu.fhe.params import validate_wire_scheme_params
+
+        sp = validate_wire_scheme_params(
+            ring_dim, t, limbs, "bgv" if is_bgv else "bfv"
         )
+        self.ctx = make_context(sp, seed=None)
         els = [int(k) for k in self.channel.read_tensor()]
         b = jnp.asarray(self.channel.read_tensor())
         a = jnp.asarray(self.channel.read_tensor())

@@ -13,10 +13,12 @@ from nested_hashing_psi_tpu.protocol.channel import (
 
 
 def test_tensor_framing_roundtrip():
+    # exactly the wire's element types (channel._ALLOWED_DTYPES); anything
+    # else is rejected -- tests/test_wire_hardening.py
     for arr in (
         np.arange(12, dtype=np.uint32).reshape(3, 4),
         np.zeros((2, 0, 5), dtype=np.uint64),
-        np.array([1.5, -2.5]),
+        np.frombuffer(b"\x00\x07", dtype=np.uint8),
         np.array(7, dtype=np.int64).reshape(()),
     ):
         back = tensor_from_bytes(tensor_to_bytes(arr))

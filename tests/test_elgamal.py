@@ -105,3 +105,75 @@ def test_simple_elgamal_with_stash():
         elgamal_params(), elgamal_ht(server_stash_size=2)
     )
     assert ok
+
+
+# ---------------------------------------------------------------------------
+# combined-table modes (-s / -c; reference CuckooHashTable.cpp:169-180) and
+# --nThreads (reference ElGamalPSIServer.hpp:62-80)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.mark.parametrize("precomp", [False, True])
+@pytest.mark.parametrize(
+    "simple_multi,cuckoo_multi",
+    [(False, True), (True, False), (False, False)],
+    ids=["combined-simple", "combined-cuckoo", "combined-both"],
+)
+def test_elgamal_combined_tables_e2e(precomp, simple_multi, cuckoo_multi):
+    """-s / -c / -s -c on both ElGamal protocols: one combined table shared
+    by all hash functions instead of one table per hash function. (The FHE
+    PIEs reject combined tables, like the reference BatchedFHEHIPPIE.cpp:18-21.)"""
+    client, _, ok = run_in_process(
+        elgamal_params(precomp=precomp),
+        elgamal_ht(
+            simple_multi_table=simple_multi,
+            cuckoo_multi_table=cuckoo_multi,
+            # a combined cuckoo table packs H hash functions into one table:
+            # give it the headroom of the multi-table layout
+            each_cuckoo_table_size=12 if not cuckoo_multi else 6,
+            each_simple_table_size=16 if not simple_multi else 8,
+        ),
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 2
+
+
+@pytest.mark.parametrize("precomp", [False, True])
+def test_elgamal_nthreads_e2e(precomp):
+    """--nThreads > 1 runs the PIE cells on a worker pool; results and
+    ordering are identical to the serial path (self-verifying client)."""
+    client, server, ok = run_in_process(
+        elgamal_params(precomp=precomp, number_of_threads=2),
+        elgamal_ht(),
+    )
+    assert ok
+    assert len(client.intersection_calculated) == 2
+
+
+def test_fhe_pie_rejects_combined_tables():
+    """The batched FHE PIE refuses combined tables, like the reference
+    (BatchedFHEHIPPIE.cpp:18-21). Constructed directly: inside the protocol
+    the server raises during its offline phase."""
+    from nested_hashing_psi_tpu.fhe.bgv import BGVContext
+    from nested_hashing_psi_tpu.fhe.params import SchemeParams
+    from nested_hashing_psi_tpu.hashing import (
+        HierarchicalCuckooHashTable,
+        TabulationHashing,
+    )
+    from nested_hashing_psi_tpu.pie.batched_fhe import BatchedFHEPIE
+
+    hasher = TabulationHashing(11, 4)
+    hct = HierarchicalCuckooHashTable(
+        hasher, each_simple_table_size=8, each_cuckoo_table_size=12,
+        n_simple_hash_functions=2, n_cuckoo_hash_functions=2,
+        max_items_per_position=3, cuckoo_multi_table=False, seed=1,
+    )
+    ctx = BGVContext(
+        SchemeParams(ring_dim=32, plaintext_modulus=65537, num_limbs=3), seed=2
+    )
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    with pytest.raises(ValueError, match="combined"):
+        BatchedFHEPIE(ctx, hct, rlk)
