@@ -32,6 +32,15 @@ def main():
         "resume a fresh PIE from the file alone and re-verify one online "
         "query bit-exactly (VERDICT r2 task #1)",
     )
+    ap.add_argument(
+        "--simpleSize", type=int, default=0,
+        help="override eachSimpleTableSize (use exact Parameters1.txt rows)",
+    )
+    ap.add_argument(
+        "--inner", type=int, default=0,
+        help="override maxPP = eachCuckooTableSize",
+    )
+    ap.add_argument("--intersection", type=int, default=0)
     args = ap.parse_args()
 
     from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
@@ -40,13 +49,16 @@ def main():
 
     server_n = 1 << args.server_log2
     client_n = 1 << args.client_log2
-    inter_n = client_n // 2
+    inter_n = args.intersection or client_n // 2
 
-    simple_size = int(client_n * 2.2 / 2)
-    per_cell = 2 * server_n / (2 * simple_size)  # placements per outer cell
-    inner = 1
-    while 2 * inner * inner < per_cell * 1.2:
-        inner += 1
+    simple_size = args.simpleSize or int(client_n * 2.2 / 2)
+    if args.inner:
+        inner = args.inner
+    else:
+        per_cell = 2 * server_n / (2 * simple_size)  # placements per cell
+        inner = 1
+        while 2 * inner * inner < per_cell * 1.2:
+            inner += 1
 
     psi = PSIParams(
         server_set_size=server_n,

@@ -43,11 +43,8 @@ def main():
     )
 
     t0 = time.perf_counter()
-    data = RandomDataInput(
-        server_set_size=n, client_set_size=2048, intersection_set_size=1025,
-        bit_size=32, seed=123456789,
-    )
-    server = data.server_set()
+    data = RandomDataInput(n, 2048, 1025, 123456789, 32)
+    server = data.get_server_set()
     t_gen = time.perf_counter() - t0
     print(f"gen: {t_gen:.1f}s ({n/t_gen/1e6:.2f} M items/s)", flush=True)
 

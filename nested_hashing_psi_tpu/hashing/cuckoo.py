@@ -80,6 +80,21 @@ class CuckooBuilder:
         ).astype(np.int64)
         self._unplaced_items: list[np.ndarray] = []
         self._unplaced_bins: list[np.ndarray] = []
+        # scatter-arbitration scratch: one int32 per table slot (winner index
+        # per round; no clearing needed -- only slots written this round are
+        # read back). Lazily allocated on first insert.
+        self._slot_winner: np.ndarray | None = None
+
+    def _positions(self, items: np.ndarray) -> np.ndarray:
+        """(m, 2) items -> (m, n_hf) candidate positions (one tabulation
+        byte pass for all hash functions)."""
+        m = len(items)
+        out = np.empty((m, self.n_hash_functions), dtype=np.int64)
+        for h in range(self.n_hash_functions):
+            out[:, h] = self.hasher.hash_index(
+                items, self.starting_hash_id + h, self.table_size
+            )
+        return out
 
     def insert_chunk(self, items: np.ndarray, bin_ids: np.ndarray) -> None:
         """Run the batched insertion rounds for one chunk of (item, bin)
@@ -100,20 +115,19 @@ class CuckooBuilder:
         n_tables, max_pp, table_size = self.n_tables, self.max_pp, self.table_size
         tbl_of_hf = self._tbl_of_hf
 
+        # Candidate positions are computed ONCE per item and carried across
+        # rounds (sliced exactly like pend_items); only evicted occupants --
+        # a shrinking minority -- are re-hashed. With the scatter-based
+        # winner arbitration below this removes the two per-round O(m log m)
+        # costs (re-hashing everything, sorting slot keys) that dominated
+        # the 2^22 build profile.
+        pend_pos = self._positions(pend_items)  # (m, n_hf)
+
         for rnd in range(self.max_rounds):
             m = len(pend_items)
             if m == 0:
                 break
-            # Candidate position per hash function: (m, n_hf)
-            pos = np.stack(
-                [
-                    self.hasher.hash_index(
-                        pend_items, self.starting_hash_id + h, table_size
-                    )
-                    for h in range(self.n_hash_functions)
-                ],
-                axis=1,
-            )
+            pos = pend_pos
             occ_h = occ[pend_bins[:, None], tbl_of_hf[None, :], pos]  # (m, n_hf)
             free = occ_h < max_pp
             has_free = free.any(axis=1)
@@ -127,14 +141,21 @@ class CuckooBuilder:
             depth_evict = rng.integers(0, max_pp, size=m)
             depth_sel = np.where(has_free, depth_free, depth_evict)
 
-            # Single writer per slot: first pending item targeting each unique
-            # (bin, table, pos, depth) wins this round; losers retry next round.
+            # Single writer per slot: ONE pending item targeting each unique
+            # (bin, table, pos, depth) wins this round; losers retry next
+            # round. Arbitration by scatter (last write wins, then read
+            # back): O(m), no sort; stale scratch entries are never read
+            # because only this round's keys are consulted.
             slot_key = (
                 (pend_bins * n_tables + tbl_sel) * max_pp + depth_sel
             ) * table_size + pos_sel
-            _, win_idx = np.unique(slot_key, return_index=True)
-            winner = np.zeros(m, dtype=bool)
-            winner[win_idx] = True
+            if self._slot_winner is None:
+                self._slot_winner = np.empty(
+                    self.n_bins * n_tables * max_pp * table_size, dtype=np.int32
+                )
+            ar = np.arange(m, dtype=np.int32)
+            self._slot_winner[slot_key] = ar
+            winner = self._slot_winner[slot_key] == ar
 
             wb, wt, wp, wd = (
                 pend_bins[winner],
@@ -153,8 +174,12 @@ class CuckooBuilder:
             ev_items = prev[evicted_mask]
             ev_bins = wb[evicted_mask]
 
-            pend_items = np.concatenate([pend_items[~winner], ev_items])
-            pend_bins = np.concatenate([pend_bins[~winner], ev_bins])
+            loser = ~winner
+            pend_items = np.concatenate([pend_items[loser], ev_items])
+            pend_bins = np.concatenate([pend_bins[loser], ev_bins])
+            pend_pos = np.concatenate(
+                [pend_pos[loser], self._positions(ev_items)]
+            )
 
         if len(pend_items):
             self._unplaced_items.append(pend_items)

@@ -47,8 +47,19 @@ class TabulationHashing:
         )
 
     def _bytes(self, items: np.ndarray) -> np.ndarray:
-        """(n, 2) uint64 -> (n, 16) uint8 chunk indices (little-endian)."""
+        """(n, 2) uint64 -> (n, 16) uint8 chunk indices (little-endian).
+
+        Zero-copy reinterpretation of the item words on little-endian hosts
+        (x86/ARM); the shift-and-mask fallback was 80% of the 2^22 offline
+        build (benchmarks/profile_build.py, round 4)."""
         items = np.atleast_2d(items)
+        if items.dtype == np.uint64 and items.dtype.byteorder in ("=", "<"):
+            import sys
+
+            if sys.byteorder == "little":
+                return np.ascontiguousarray(items).view(np.uint8).reshape(
+                    len(items), 16
+                )
         lo, hi = items[:, 0], items[:, 1]
         cols = [
             ((lo >> np.uint64(8 * i)) & np.uint64(0xFF)) for i in range(8)

@@ -219,6 +219,8 @@ class BatchedFHEPIE:
         leveled: bool = False,
         mul_limbs: int | None = None,
         ship_limbs: int | None = None,
+        host_table: bool = False,
+        encode_slab: int = 2048,
     ):
         if hct.server_stash_size != 0:
             raise ValueError("batched FHE PIE does not support a stash")
@@ -233,9 +235,57 @@ class BatchedFHEPIE:
             )
             assert ctx.L - (self.H - 1) >= 2, "not enough limbs for the chain"
         self.leveled = leveled
-        # Rescaled-mult basis (BFV): None = auto from the noise model,
-        # 0 = disabled. The cross-hash HPS mults + relin then run on
-        # mul_limbs limbs and the result ships on ship_limbs (fhe.params).
+        self._setup_mul_limbs(mul_limbs, ship_limbs)
+        self.D = hct.max_items_per_position
+        self.P = hct.each_cuckoo_table_size
+        self.batch_slots = hct.n_simple_tables * hct.each_simple_table_size
+
+        rng = np.random.Generator(
+            np.random.Philox(key=np.random.SeedSequence().entropy if mask_seed is None else mask_seed)
+        )
+
+        # table: (S, O, H, D, P, 2) uint64 -> shuffle depth rows per
+        # (outer cell, inner table) to hide which depth matched.
+        table = hct.table
+        S, O = table.shape[0], table.shape[1]
+        perm = np.argsort(rng.random((S, O, self.H, self.D)), axis=-1)
+        table = np.take_along_axis(table, perm[..., None, None], axis=3)
+
+        vals = table[..., 0]  # (S, O, H, D, P); FHE items are < t (<= 48 bits)
+        if table[..., 1].any():
+            raise ValueError("FHE paths support items below 64 bits only")
+        # -> slot-major: (H, D, P, batch = S*O)
+        slots = vals.transpose(2, 3, 4, 0, 1).reshape(self.H, self.D, self.P, -1)
+
+        # Batched packed-encode the whole table -> Montgomery NTT tensor,
+        # in bounded slabs (a single object-dtype view of a 2^28-scale table
+        # would be hundreds of millions of PyObjects). host_table keeps the
+        # result in host memory for tables beyond HBM (17.7 GB at the
+        # Parameters1.txt 2^28 x 2048 row); the online step then streams
+        # position slices to the device (run()'s host-table path).
+        self.host_table = host_table
+        flat = slots.reshape(self.H * self.D * self.P, self.batch_slots)
+        n_polys = flat.shape[0]
+        slabs = []
+        for s in range(0, n_polys, encode_slab):
+            pt = ctx.make_plaintext_mont(flat[s : s + encode_slab].astype(object))
+            slabs.append(np.asarray(pt) if host_table else pt)
+        cat = np.concatenate if host_table else jnp.concatenate
+        pt = slabs[0] if len(slabs) == 1 else cat(slabs, axis=0)
+        self.table_pt = pt.reshape(self.H, self.D, self.P, ctx.L, ctx.n)
+
+        # Per-depth random nonzero masks (cpp:73-82).
+        mask_vals = rng.integers(1, ctx.t, size=(self.D, self.batch_slots))
+        self.mask_pt = ctx.make_plaintext_mont(mask_vals.astype(object))
+
+        self._run = None
+
+    def _setup_mul_limbs(self, mul_limbs, ship_limbs) -> None:
+        """Rescaled-mult basis (BFV): None = auto from the noise model,
+        0 = disabled. The cross-hash HPS mults + relin then run on
+        mul_limbs limbs and the result ships on ship_limbs (fhe.params).
+        Also called by checkpoint resume (utils.checkpoint)."""
+        ctx = self.ctx
         if ctx.default_form == "bfv" and self.H > 1:
             from nested_hashing_psi_tpu.fhe.params import (
                 bfv_mul_limbs,
@@ -262,47 +312,15 @@ class BatchedFHEPIE:
                 if self.ship_limbs < self.mul_limbs:
                     ctx.context_for_limbs(self.ship_limbs)
                     mctx._rescaler(self.ship_limbs)
-            else:
-                self.mul_limbs = None
-                self.ship_limbs = None
-        else:
-            self.mul_limbs = None
-            self.ship_limbs = None
-        self.D = hct.max_items_per_position
-        self.P = hct.each_cuckoo_table_size
-        self.batch_slots = hct.n_simple_tables * hct.each_simple_table_size
-
-        rng = np.random.Generator(
-            np.random.Philox(key=np.random.SeedSequence().entropy if mask_seed is None else mask_seed)
-        )
-
-        # table: (S, O, H, D, P, 2) uint64 -> shuffle depth rows per
-        # (outer cell, inner table) to hide which depth matched.
-        table = hct.table
-        S, O = table.shape[0], table.shape[1]
-        perm = np.argsort(rng.random((S, O, self.H, self.D)), axis=-1)
-        table = np.take_along_axis(table, perm[..., None, None], axis=3)
-
-        vals = table[..., 0]  # (S, O, H, D, P); FHE items are < t (<= 48 bits)
-        if table[..., 1].any():
-            raise ValueError("FHE paths support items below 64 bits only")
-        # -> slot-major: (H, D, P, batch = S*O)
-        slots = vals.transpose(2, 3, 4, 0, 1).reshape(self.H, self.D, self.P, -1)
-
-        # Batched packed-encode the whole table -> Montgomery NTT tensor.
-        flat = slots.reshape(self.H * self.D * self.P, self.batch_slots)
-        pt = ctx.make_plaintext_mont(flat.astype(object))
-        self.table_pt = pt.reshape(self.H, self.D, self.P, ctx.L, ctx.n)
-
-        # Per-depth random nonzero masks (cpp:73-82).
-        mask_vals = rng.integers(1, ctx.t, size=(self.D, self.batch_slots))
-        self.mask_pt = ctx.make_plaintext_mont(mask_vals.astype(object))
-
-        self._run = None
+                return
+        self.mul_limbs = None
+        self.ship_limbs = None
 
     def run(self, index_cts: Ciphertext, minus_ct: Ciphertext) -> Ciphertext:
         """index_cts: (H, P, 2, L, N); minus_ct: (2, L, N).
         Returns result ciphertexts (D, 2, L, N)."""
+        if self.host_table:
+            return self._run_host_table(index_cts, minus_ct)
         if self._run is None:
             use_kernel = jax.default_backend() == "tpu"
             if self.leveled:
@@ -331,6 +349,48 @@ class BatchedFHEPIE:
         return self._run(
             index_cts, minus_ct, self.table_pt, self.mask_pt, self.rlk
         )
+
+    def _run_host_table(
+        self, index_cts: Ciphertext, minus_ct: Ciphertext,
+        pos_chunk: int | None = None,
+    ) -> Ciphertext:
+        """Online step with the packed table resident in HOST memory (tables
+        beyond HBM, e.g. 17.7 GB at the Parameters1.txt 2^28 x 2048 row):
+        equal-width position slices are uploaded and position-summed
+        incrementally (the same partial-sum algebra as run_streamed; each
+        upload overlaps the previous slice's compute via async dispatch),
+        then the combine stage runs fully on device."""
+        if not hasattr(self, "_ht_jits"):
+            use_kernel = jax.default_backend() == "tpu"
+
+            def partial(idx_chunk, tbl_chunk):
+                return position_sum(
+                    self.ctx, idx_chunk, tbl_chunk, use_kernel=use_kernel
+                )
+
+            def acc_fn(a, b):
+                return add_mod(a, b, self.ctx.p)
+
+            def finish(ip, minus_data, mask_pt, rk):
+                return combine_ip(
+                    self.ctx, rk, ip, minus_data, mask_pt,
+                    leveled=self.leveled,
+                    mul_limbs=self.mul_limbs, ship_limbs=self.ship_limbs,
+                )
+
+            self._ht_jits = (jax.jit(partial), jax.jit(acc_fn), jax.jit(finish))
+        partial_f, acc_f, finish_f = self._ht_jits
+        if pos_chunk is None:
+            per_pos = self.H * self.D * self.ctx.L * self.ctx.n * 4
+            pos_chunk = max(1, min(self.P, (2 << 30) // per_pos))
+        while self.P % pos_chunk:
+            pos_chunk -= 1
+        ip = None
+        for p0 in range(0, self.P, pos_chunk):
+            tbl = jnp.asarray(self.table_pt[:, :, p0 : p0 + pos_chunk])
+            part = partial_f(index_cts.data[:, p0 : p0 + pos_chunk], tbl)
+            ip = part if ip is None else acc_f(ip, part)
+        return finish_f(ip, minus_ct.data, self.mask_pt, self.rlk)
 
     def run_streamed(self, chunks, minus_ct: Ciphertext) -> Ciphertext:
         """Compute/communication-overlapped online step.

@@ -198,13 +198,22 @@ class BatchedFHEPSIServer(PSIServerBase):
     def run_offline_phase(self) -> None:
         begin = time.monotonic_ns()
         self.server_table.insert_all(self.server_set)
+        ht, ctx = self.ht, self.ctx
+        # beyond-HBM packed tables (17.7 GB at the Parameters1.txt
+        # 2^28 x 2048 row) stay host-resident; the online step streams
+        # position slices to the device (BatchedFHEPIE._run_host_table)
+        table_bytes = (
+            ht.n_cuckoo_hash_functions * ht.max_items_per_position
+            * ht.each_cuckoo_table_size * ctx.L * ctx.n * 4
+        )
         self.pie = BatchedFHEPIE(
-            self.ctx,
+            ctx,
             self.server_table,
             self.rlk,
             leveled=leveled_default(
-                self.ctx.params.scheme, self.ctx.t, self.ht.n_cuckoo_hash_functions
+                ctx.params.scheme, ctx.t, ht.n_cuckoo_hash_functions
             ),
+            host_table=table_bytes > (12 << 30),
         )
         self.offline_computation_us = (time.monotonic_ns() - begin) // 1000
 

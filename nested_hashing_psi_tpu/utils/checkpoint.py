@@ -83,7 +83,11 @@ def load_batched_pie(path: str, ctx=None, rlk=None):
     dims = [int(v) for v in z["dims"]]
     pie.H, pie.D, pie.P, pie.batch_slots = dims[:4]
     pie.leveled = bool(dims[4]) if len(dims) > 4 else False
-    pie.table_pt = jnp.asarray(z["table_pt"])
+    table = z["table_pt"]
+    # beyond-HBM tables resume host-resident (streamed online path)
+    pie.host_table = table.nbytes > (12 << 30)
+    pie.table_pt = table if pie.host_table else jnp.asarray(table)
     pie.mask_pt = jnp.asarray(z["mask_pt"])
     pie._run = None
+    pie._setup_mul_limbs(None, None)
     return pie

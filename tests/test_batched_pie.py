@@ -98,3 +98,24 @@ def test_batched_pie_no_matches(pie_setup):
     idx_ct, minus_ct = ops.encrypt_query(sk)
     slots, _ = ctx.decrypt(pie.run(idx_ct, minus_ct), sk, length=pie.batch_slots)
     assert len(ops.extract_intersection(np.asarray(slots))) == 0
+
+
+def test_host_table_pie_matches_device(pie_setup):
+    """host_table=True (table beyond HBM at 2^28 scale): slab-encoded host
+    tensor + streamed position slices produce bit-identical results."""
+    ctx, sk, rlk, hct, client_table, client_vals = pie_setup
+    import numpy as np
+
+    dev = BatchedFHEPIE(ctx, hct, rlk, mask_seed=99)
+    host = BatchedFHEPIE(ctx, hct, rlk, mask_seed=99, host_table=True,
+                         encode_slab=7)
+    assert isinstance(host.table_pt, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(dev.table_pt), host.table_pt)
+
+    client_ops = BatchedFHEClientOps(
+        ctx, client_table, N_SIMPLE_HF, N_CUCKOO_HF, CUCKOO_SIZE
+    )
+    idx_ct, minus_ct = client_ops.encrypt_query(sk)
+    a = dev.run(idx_ct, minus_ct)
+    b = host.run(idx_ct, minus_ct)
+    np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
