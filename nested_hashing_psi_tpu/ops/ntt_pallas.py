@@ -412,7 +412,8 @@ def _fwd_stages(X, s1, s2, tw, p, m1: int, m2: int):
     return jnp.swapaxes(X, -1, -2)       # (..., m1, m2) = (a, b)
 
 
-def _run_half_v2(X, tab, M: int, p, kind: str, ks, fuse: int = 1):
+def _run_half_v2(X, tab, M: int, p, kind: str, ks, fuse: int = 1,
+                 enter_rg: bool = False, exit_rg: bool = False):
     """One half of the split NTT: iterate stage indices ``ks`` (pair
     distance t = M >> (k+1)); contiguous runs of sub-tile stages execute in
     regrouped row space with distance t*(M/8) using the plan's permuted
@@ -440,12 +441,12 @@ def _run_half_v2(X, tab, M: int, p, kind: str, ks, fuse: int = 1):
         else:
             runs.append((sp, [k]))
 
-    for sp, run in runs:
+    for ri, (sp, run) in enumerate(runs):
         if sp == "roll":
             k = run[0]
             X = stage_fn(X, tab[0, k], tab[1, k], M >> (k + 1), p)
             continue
-        if sp == "rg":
+        if sp == "rg" and not (enter_rg and ri == 0):
             X = _regroup(X)
         scale = R if sp == "rg" else 1
         for i in range(0, len(run), max(1, fuse)):
@@ -455,25 +456,42 @@ def _run_half_v2(X, tab, M: int, p, kind: str, ks, fuse: int = 1):
                 X = stage_fn(X, tab[0, grp[0]], tab[1, grp[0]], te[0], p)
             else:
                 X = _run_group(X, tab, grp, te, p, kind, topdown)
-        if sp == "rg":
+        if sp == "rg" and not (exit_rg and ri == len(runs) - 1):
             X = _ungroup(X)
     return X
 
 
-def _fwd_stages_v2(X, s1, s2, tw, p, m1: int, m2: int, fuse: int = 1):
+def _fwd_stages_v2(X, s1, s2, tw, p, m1: int, m2: int, fuse: int = 1,
+                   relabeled_out: bool = False):
     """Bit-exact with _fwd_stages; sub-tile stages run regrouped (v2 tables).
-    Table axes here: s1/s2 = (2, log, M, 1), tw = (2, m1, m2)."""
+    Table axes here: s1/s2 = (2, log, M, 1), tw = (2, m1, m2).
+
+    relabeled_out=True leaves the result in the RELABELED evaluation domain:
+    the (m2, m1)-transposed, regrouped row space the final GS run naturally
+    ends in -- skipping the exit ungroup + transpose. Pointwise algebra
+    between a relabeled forward and a relabeled inverse is unchanged (the
+    evaluation points are merely renumbered, identically on both sides);
+    only closed fwd -> pointwise -> inv sandwiches may use it. Requires
+    m1 == m2 (the transposed tile keeps its shape)."""
     X = _run_half_v2(X, s1, m1, p, "ct", range(_log2(m1)), fuse)
     X = shoup_mul(X, tw[..., 0, :, :], tw[..., 1, :, :], p)
     X = jnp.swapaxes(X, -1, -2)
-    X = _run_half_v2(X, s2, m2, p, "gs", range(_log2(m2)), fuse)
+    X = _run_half_v2(X, s2, m2, p, "gs", range(_log2(m2)), fuse,
+                     exit_rg=relabeled_out)
+    if relabeled_out:
+        return X
     return jnp.swapaxes(X, -1, -2)
 
 
-def _inv_stages_v2(X, is1, is2, itw, p, m1: int, m2: int, fuse: int = 1):
-    """Bit-exact with _inv_stages; sub-tile stages run regrouped."""
-    X = jnp.swapaxes(X, -1, -2)
-    X = _run_half_v2(X, is2, m2, p, "ct", reversed(range(_log2(m2))), fuse)
+def _inv_stages_v2(X, is1, is2, itw, p, m1: int, m2: int, fuse: int = 1,
+                   relabeled_in: bool = False):
+    """Bit-exact with _inv_stages; sub-tile stages run regrouped.
+    relabeled_in accepts input in the relabeled evaluation domain
+    (see _fwd_stages_v2)."""
+    if not relabeled_in:
+        X = jnp.swapaxes(X, -1, -2)
+    X = _run_half_v2(X, is2, m2, p, "ct", reversed(range(_log2(m2))), fuse,
+                     enter_rg=relabeled_in)
     X = jnp.swapaxes(X, -1, -2)
     X = shoup_mul(X, itw[..., 0, :, :], itw[..., 1, :, :], p)
     X = _run_half_v2(X, is1, m1, p, "gs", reversed(range(_log2(m1))), fuse)
@@ -534,7 +552,8 @@ def intt_split(x, plan: SplitNTTPlan):
 # VMEM-resident (TB, m1, m2) tile.
 # ---------------------------------------------------------------------------
 
-def _make_kernel(m1: int, m2: int, inverse: bool, fuse: int):
+def _make_kernel(m1: int, m2: int, inverse: bool, fuse: int,
+                 relabeled: bool = False):
     def kernel(p_ref, x_ref, sa_ref, sb_ref, tw_ref, out_ref):
         l = pl.program_id(0)
         p = p_ref[l, 0]
@@ -543,18 +562,22 @@ def _make_kernel(m1: int, m2: int, inverse: bool, fuse: int):
         sb = sb_ref[0]                       # (2, log2, m2, 1) v2 tables
         tw = tw_ref[0]                       # (2, m1, m2)
         if inverse:
-            out = _inv_stages_v2(X, sa, sb, tw, p, m1, m2, fuse)
+            out = _inv_stages_v2(X, sa, sb, tw, p, m1, m2, fuse,
+                                 relabeled_in=relabeled)
         else:
-            out = _fwd_stages_v2(X, sa, sb, tw, p, m1, m2, fuse)
+            out = _fwd_stages_v2(X, sa, sb, tw, p, m1, m2, fuse,
+                                 relabeled_out=relabeled)
         out_ref[:, 0] = out
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("plan", "inverse", "tile_b", "interpret",
-                                   "fuse"))
+                                   "fuse", "relabeled"))
 def _pallas_call(x, plan: SplitNTTPlan, inverse: bool, tile_b: int,
-                 interpret: bool, fuse: int):
+                 interpret: bool, fuse: int, relabeled: bool = False):
+    if relabeled:
+        assert plan.m1 == plan.m2, "relabeled domain needs a square split"
     L, n, m1, m2 = plan.L, plan.n, plan.m1, plan.m2
     bshape = x.shape[:-2]
     B = int(np.prod(bshape)) if bshape else 1
@@ -571,7 +594,7 @@ def _pallas_call(x, plan: SplitNTTPlan, inverse: bool, tile_b: int,
 
     grid = (L, Bp // tile_b)
     out = pl.pallas_call(
-        _make_kernel(m1, m2, inverse, fuse),
+        _make_kernel(m1, m2, inverse, fuse, relabeled),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -606,16 +629,24 @@ DEFAULT_FUSE = 1
 
 
 def ntt_pallas(x, plan: SplitNTTPlan, tile_b: int = DEFAULT_TILE_B,
-               interpret: bool | None = None, fuse: int = DEFAULT_FUSE):
-    """Fused forward NTT. x: (..., L, n) uint32 -> bit-reversed NTT domain."""
+               interpret: bool | None = None, fuse: int = DEFAULT_FUSE,
+               relabeled: bool = False):
+    """Fused forward NTT. x: (..., L, n) uint32 -> bit-reversed NTT domain.
+
+    relabeled=True returns the RELABELED evaluation domain (exit transpose
+    + ungroup skipped; see _fwd_stages_v2): valid only inside closed
+    fwd -> pointwise -> inv sandwiches whose inverse also passes
+    relabeled=True."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _pallas_call(x, plan, False, tile_b, interpret, fuse)
+    return _pallas_call(x, plan, False, tile_b, interpret, fuse, relabeled)
 
 
 def intt_pallas(x, plan: SplitNTTPlan, tile_b: int = DEFAULT_TILE_B,
-                interpret: bool | None = None, fuse: int = DEFAULT_FUSE):
-    """Fused inverse NTT. x: (..., L, n) bit-reversed -> natural order."""
+                interpret: bool | None = None, fuse: int = DEFAULT_FUSE,
+                relabeled: bool = False):
+    """Fused inverse NTT. x: (..., L, n) bit-reversed -> natural order.
+    relabeled=True accepts relabeled-domain input (see ntt_pallas)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _pallas_call(x, plan, True, tile_b, interpret, fuse)
+    return _pallas_call(x, plan, True, tile_b, interpret, fuse, relabeled)

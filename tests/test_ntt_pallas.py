@@ -77,3 +77,55 @@ def test_pallas_kernel_fused_levels(fuse):
     np.testing.assert_array_equal(got, want)
     back = np.asarray(intt_pallas(jnp.asarray(want), sp, tile_b=2, fuse=fuse))
     np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_relabeled_domain_sandwich():
+    """relabeled=True (exit transpose + ungroup skipped) is exact inside a
+    closed fwd -> pointwise -> inv sandwich, and the roundtrip matches the
+    canonical path bit-for-bit. Measured on v5e: 1.03x vs canonical -- a
+    recorded negative against the ~13% hypothesis (BENCH_NOTES round 4)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nested_hashing_psi_tpu.ops.modmath import (
+        mont_constants,
+        mont_mul,
+        to_mont,
+    )
+    from nested_hashing_psi_tpu.ops.ntt_pallas import (
+        SplitNTTPlan,
+        intt_pallas,
+        ntt_pallas,
+    )
+    from nested_hashing_psi_tpu.ops.primes import ntt_primes
+
+    n = 1024
+    ps = ntt_primes(2, 31, 2 * n)
+    plan = SplitNTTPlan(n, ps)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, min(ps), (3, 2, n), dtype=np.int64), jnp.uint32)
+    y = jnp.asarray(rng.integers(0, min(ps), (3, 2, n), dtype=np.int64), jnp.uint32)
+    p = jnp.asarray(plan.p_arr)
+    pinv = jnp.asarray(
+        np.array([mont_constants(q)[0] for q in ps], np.uint32).reshape(2, 1)
+    )
+    r2 = jnp.asarray(
+        np.array([mont_constants(q)[1] for q in ps], np.uint32).reshape(2, 1)
+    )
+
+    fx, fy = ntt_pallas(x, plan), ntt_pallas(y, plan)
+    can = np.asarray(
+        intt_pallas(mont_mul(fx, to_mont(fy, p, pinv, r2), p, pinv), plan)
+    )
+    gx = ntt_pallas(x, plan, relabeled=True)
+    gy = ntt_pallas(y, plan, relabeled=True)
+    rel = np.asarray(
+        intt_pallas(
+            mont_mul(gx, to_mont(gy, p, pinv, r2), p, pinv),
+            plan,
+            relabeled=True,
+        )
+    )
+    np.testing.assert_array_equal(can, rel)
+    rt = np.asarray(intt_pallas(ntt_pallas(x, plan, relabeled=True), plan, relabeled=True))
+    np.testing.assert_array_equal(rt, np.asarray(intt_pallas(ntt_pallas(x, plan), plan)))
