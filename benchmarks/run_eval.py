@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--bgv", action="store_true")
     ap.add_argument("--curve", default="P-256")
     ap.add_argument("--outdir", default="eval_results")
+    ap.add_argument("--nThreads", type=int, default=1)
     args = ap.parse_args()
 
     from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
@@ -61,6 +62,7 @@ def main():
             precomp=args.protocol == "precomp",
             bgv=args.bgv,
             curve_name=args.curve,
+            number_of_threads=args.nThreads,
             export_performance=True,
         )
         ht = HashTableParams(
