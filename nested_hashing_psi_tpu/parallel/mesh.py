@@ -168,16 +168,20 @@ def sp_sharded_pie_step(
         ip = position_sum(
             ctx, idx, table, pos_chunk=pos_chunk
         )                                         # (H, D_depth, 2, L, Nloc)
-        ip = add_mod(ip, minus[None, None], p)
-        acc = ip[0]
+        # mask folding (pie.batched_fhe.combine_ip): the masks live in hash
+        # 0's table plaintexts; hash 0 takes the per-depth MASKED minus
+        # (pointwise, chip-local), the others plain minus; no final mask.
+        minus_masked = mont_mul(minus[None], mask[:, None], p, pinv)
+        acc = add_mod(ip[0], minus_masked, p)
         for h in range(1, H):
+            op = add_mod(ip[h], minus[None], p)
             if is_bfv:
-                d = hps_mul_local(acc, ip[h])
+                d = hps_mul_local(acc, op)
                 d0, d1, d2 = d[..., 0, :, :], d[..., 1, :, :], d[..., 2, :, :]
             else:
                 a0, a1 = acc[..., 0, :, :], acc[..., 1, :, :]
-                b0 = to_mont(ip[h][..., 0, :, :], p, pinv, r2)
-                b1 = to_mont(ip[h][..., 1, :, :], p, pinv, r2)
+                b0 = to_mont(op[..., 0, :, :], p, pinv, r2)
+                b1 = to_mont(op[..., 1, :, :], p, pinv, r2)
                 d0 = mont_mul(a0, b0, p, pinv)
                 d1 = add_mod(
                     mont_mul(a0, b1, p, pinv), mont_mul(a1, b0, p, pinv), p
@@ -185,7 +189,7 @@ def sp_sharded_pie_step(
                 d2 = mont_mul(a1, b1, p, pinv)
             k0, k1 = relin_local(d0, d1, d2, rb, ra)
             acc = jnp.stack([k0, k1], axis=-3)
-        return mont_mul(acc, mask[:, None], p, pinv)
+        return acc
 
     s = lambda nd: P(*(None,) * (nd - 1), axis)  # trailing (N) axis sharded
     ns = lambda nd: NamedSharding(mesh, s(nd))

@@ -140,23 +140,40 @@ def combine_ip(
     ship_limbs: int | None = None,
 ) -> Ciphertext:
     """Finish the PIE: add -elem, multiply across hash functions (+relin,
-    optionally mod-switching down a level per mult), apply the masks."""
+    optionally mod-switching down a level per mult).
+
+    MASK FOLDING: the per-depth masks are drawn OFFLINE (the reference draws
+    them in the PIE constructor, BatchedFHEHIPPIE.cpp:73-82), so this
+    framework folds them into hash function 0's packed table plaintexts at
+    encode time: mask_d * prod_h(ip_h - elem) = (mask_d*ip_0 - mask_d*elem)
+    * prod_{h>0}(ip_h - elem). The online step therefore adds a PER-DEPTH
+    MASKED minus-element to hash 0 (one ct x pt against mask_pt) and plain
+    minus to the others -- the reference's final EvalMult by the mask
+    plaintext disappears, and with it ~t*n of noise on the smallest budget
+    of the pipeline (measured: the end-of-pipeline mask left only ~2.4 bits
+    of margin on the rescaled path; folded, the margin is ~25 bits).
+    Decrypted slot values are identical to the mask-at-the-end form.
+    """
     H = ip.shape[0]
-    ip = add_mod(ip, minus_data[None, None], ctx.p)
+    # minus-element: hash 0 takes mask_d * (-elem) (ct x pt, per depth);
+    # the other hashes take it plain
+    minus_masked = mont_mul(
+        minus_data[None], mask_pt[:, None], ctx.p, ctx.pinv
+    )  # (D, 2, L, N)
+    ip0 = add_mod(ip[0], minus_masked, ctx.p)
+    rest = [add_mod(ip[h], minus_data[None], ctx.p) for h in range(1, H)]
     if mul_limbs is not None and mul_limbs < ctx.L and H > 1:
-        # Rescaled BFV pipeline: reassociate the product as
-        # (mask * ip_0) * ip_1 * ... -- the mask (a ct x pt) costs its noise
-        # on the full basis, where budget is plentiful, and the expensive
-        # cross-hash HPS multiplications then run on the mul_limbs basis.
+        # Rescaled BFV pipeline: both operands modulus-switch down to the
+        # mul_limbs basis (their noise floors there -- the folded mask adds
+        # none) and the expensive HPS multiplications + relin run on it.
         assert ctx.default_form == "bfv", "mul_limbs is the BFV rescaled path"
-        masked = mont_mul(ip[0], mask_pt[:, None], ctx.p, ctx.pinv)
-        acc = Ciphertext(masked, "bfv", 1)
+        acc = Ciphertext(ip0, "bfv", 1)
         cur = ctx.L
         for h in range(1, H):
             last = h == H - 1
             acc = ctx.hps_mul_relin_rescaled(
                 acc,
-                Ciphertext(ip[h], "bfv", 1),
+                Ciphertext(rest[h - 1], "bfv", 1),
                 rlk,
                 mul_limbs,
                 ship_limbs=ship_limbs if last else None,
@@ -165,17 +182,13 @@ def combine_ip(
             cur = mul_limbs
         return acc
     # intermediate ciphertexts carry the context's native form (bgv/bfv)
-    acc = Ciphertext(ip[0], ctx.default_form, 1)  # batched over D
+    acc = Ciphertext(ip0, ctx.default_form, 1)  # batched over D
     if not leveled or H == 1:
         for h in range(1, H):
             acc = ctx.ct_ct_mul_relin(
-                acc, Ciphertext(ip[h], ctx.default_form, 1), rlk
+                acc, Ciphertext(rest[h - 1], ctx.default_form, 1), rlk
             )
-        return Ciphertext(
-            mont_mul(acc.data, mask_pt[:, None], ctx.p, ctx.pinv),
-            acc.form,
-            acc.scale,
-        )
+        return acc
 
     assert ctx.default_form == "bgv", "leveled path is BGV-only"
     # chain[lvl] operates over L - lvl limbs; multiplication h runs at level
@@ -190,7 +203,9 @@ def combine_ip(
             ct = chain[lv].mod_switch(ct)
         return ct
 
-    ops = [Ciphertext(ip[h], "bgv", 1) for h in range(H)]
+    ops = [Ciphertext(ip0, "bgv", 1)] + [
+        Ciphertext(r, "bgv", 1) for r in rest
+    ]
     acc = switch_to(ops[0], 0, 1)
     for h in range(1, H):
         op = switch_to(ops[h], 0, h)
@@ -199,12 +214,7 @@ def combine_ip(
         )
         if h < H - 1:
             acc = chain[h].mod_switch(acc)
-    final = chain[H - 1]
-    return Ciphertext(
-        mont_mul(acc.data, mask_pt[:, None, : final.L, :], final.p, final.pinv),
-        acc.form,
-        acc.scale,
-    )
+    return acc
 
 
 class BatchedFHEPIE:
@@ -257,6 +267,16 @@ class BatchedFHEPIE:
         # -> slot-major: (H, D, P, batch = S*O)
         slots = vals.transpose(2, 3, 4, 0, 1).reshape(self.H, self.D, self.P, -1)
 
+        # Per-depth random nonzero masks (cpp:73-82), FOLDED into hash
+        # function 0's table slots (see combine_ip's mask-folding note):
+        # slot-wise mod-t products, done once offline. mask_pt is kept for
+        # the per-depth masked minus-element ct x pt.
+        mask_vals = rng.integers(1, ctx.t, size=(self.D, self.batch_slots))
+        t_obj = int(ctx.t)
+        slots = slots.astype(object)
+        slots[0] = slots[0] * mask_vals[:, None, :].astype(object) % t_obj
+        self.mask_pt = ctx.make_plaintext_mont(mask_vals.astype(object))
+
         # Batched packed-encode the whole table -> Montgomery NTT tensor,
         # in bounded slabs (a single object-dtype view of a 2^28-scale table
         # would be hundreds of millions of PyObjects). host_table keeps the
@@ -273,10 +293,6 @@ class BatchedFHEPIE:
         cat = np.concatenate if host_table else jnp.concatenate
         pt = slabs[0] if len(slabs) == 1 else cat(slabs, axis=0)
         self.table_pt = pt.reshape(self.H, self.D, self.P, ctx.L, ctx.n)
-
-        # Per-depth random nonzero masks (cpp:73-82).
-        mask_vals = rng.integers(1, ctx.t, size=(self.D, self.batch_slots))
-        self.mask_pt = ctx.make_plaintext_mont(mask_vals.astype(object))
 
         self._run = None
 

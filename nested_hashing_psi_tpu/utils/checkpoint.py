@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import numpy as np
 
-FORMAT_VERSION = 2
+# v3: table_pt carries the per-depth masks folded into hash function 0's
+# plaintexts (pie.batched_fhe.combine_ip mask-folding note); v2 tables are
+# unfolded and would decrypt to unmasked garbage under the v3 online step,
+# so loads reject them.
+FORMAT_VERSION = 3
 
 
 def save_batched_pie(path: str, pie) -> None:

@@ -172,3 +172,39 @@ def test_mul_limb_models():
     assert bfv_mul_limbs(33, 9, 2) == 7
     # never exceeds the context basis
     assert bfv_mul_limbs(49, 4, 1) == 4
+
+
+def test_ring16384_l6_rescaled_margin():
+    """Tightened client basis: 6 limbs at 32-bit t with the mask-first
+    rescaled pipeline. The mask is paid on the full basis (model margin 15
+    bits there), the mult on 5 limbs. Documented opt-in (--numLimbs 6);
+    the default stays at the worst-case model's 7. Asserts the measured
+    end-to-end noise leaves >= 10 bits at every stage."""
+    import numpy as np
+
+    from nested_hashing_psi_tpu.fhe.params import default_num_limbs
+    from nested_hashing_psi_tpu.pie.batched_fhe import (
+        BatchedFHEClientOps,
+        BatchedFHEPIE,
+    )
+
+    t = (1 << 32) + (1 << 20) + (1 << 19) + 1
+    assert default_num_limbs(t.bit_length(), 1, 12, "bfv") == 7  # the default
+    hasher, hct, client_table, client_vals = _pie_setup(2, 77)
+    ctx = make_context(
+        SchemeParams(ring_dim=16384, plaintext_modulus=t, num_limbs=6,
+                     scheme="bfv"),
+        seed=9,
+    )
+    sk, _ = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    pie = BatchedFHEPIE(ctx, hct, rlk)
+    assert pie.mul_limbs == 5 and pie.ship_limbs == 4
+    ops = BatchedFHEClientOps(ctx, client_table, 2, 2, 8)
+    idx_ct, minus_ct = ops.encrypt_query(sk)
+    result = pie.run(idx_ct, minus_ct)
+    slots, noise = ctx.decrypt(result, sk, length=pie.batch_slots)
+    budget = 31 * pie.ship_limbs - t.bit_length() - 1
+    assert noise < budget - 10, (noise, budget)
+    got = sorted(items_to_ints(ops.extract_intersection(np.asarray(slots))))
+    assert got == [205, 231]
