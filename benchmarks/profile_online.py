@@ -10,8 +10,10 @@ Components:
   pos_sum  -- fused Pallas position-sum kernel (ops/pie_kernels.py)
   hps_mul  -- one BFV HPS ct x ct at (D, 2, L, N)
   relin    -- one relinearization at (D, 3, L, N)
-  mask     -- the final mask multiply
-  full     -- the whole batched_pie_forward
+  ctxpt    -- one (D, 2, L, N) ct x pt (the masked-minus shape; the final
+              mask multiply itself is folded into the table since round 4)
+  full     -- the whole batched_pie_forward (flat basis)
+  full_rescaled -- the production pipeline (rescaled mult basis)
 """
 
 import os
@@ -118,7 +120,7 @@ def main():
     results["pos_sum"] = _ms(f_pos, (idx_ct.data, pie.table_pt))
     results["hps_mul"] = _ms(f_hps, (a_d, b_d))
     results["relin"] = _ms(f_relin, (d3, rlk))
-    results["mask"] = _ms(f_mask, (ct2, pie.mask_pt))
+    results["ctxpt"] = _ms(f_mask, (ct2, pie.mask_pt))
     results["full"] = _ms(f_full, (idx_ct.data, minus_ct.data, pie.table_pt,
                                    pie.mask_pt, rlk))
     if pie.mul_limbs:
