@@ -58,9 +58,11 @@ def indexed_inner_product(
     D = pt.shape[1]
     assert pt.shape == (H, D, P, L, N)
     tile_n = min(tile_n, N)
-    # keep the double-buffered table block within a VMEM budget at big
-    # geometries (D ~ P ~ 48 at the 2^24 north-star config)
-    while D * P * tile_n * 4 > (8 << 20) and tile_n > 256:
+    # keep the kernel's TOTAL scoped VMEM under the 16 MB limit: all three
+    # blocks are double-buffered and the k = 2 minor dim of the index/output
+    # blocks pads to 8 sublanes (a D = P = 40 sweep row measured 16.08 MB
+    # with the old table-block-only budget and failed to compile)
+    while 2 * (D * P + 8 * P + 8 * D) * tile_n * 4 > (14 << 20) and tile_n > 256:
         tile_n //= 2
     assert N % tile_n == 0
     if interpret is None:
