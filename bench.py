@@ -123,12 +123,12 @@ def bench_pie_online():
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_small_pie
-    from nested_hashing_psi_tpu.fhe.params import default_num_limbs
+    from nested_hashing_psi_tpu.fhe.params import bfv_batched_client_limbs
     from nested_hashing_psi_tpu.utils.profiling import batched_pie_op_counts
 
     H, D, P, simple = 2, 12, 12, 8022
     t = (1 << 32) + (1 << 20) + (1 << 19) + 1  # 32-bit items
-    L = default_num_limbs(t.bit_length(), H - 1, P, "bfv")
+    L = bfv_batched_client_limbs(t.bit_length(), P, H)  # production default
     ctx, sk, rlk, pie, ops, idx_ct, minus_ct = _build_small_pie(
         ring=N, limbs=L, H=H, P=P, D=D, simple=simple, t=t, scheme="bfv"
     )
@@ -162,8 +162,8 @@ def bench_pie_online():
         return batched_pie_forward(
             ctx, rk, idx_data, m2, tbl, msk,
             use_kernel=jax.default_backend() == "tpu",
-            # production defaults: the rescaled-mult pipeline (mask-first,
-            # HPS+relin on pie.mul_limbs limbs, result on pie.ship_limbs)
+            # production defaults: the rescaled-mult pipeline (masks folded
+            # into the table; HPS+relin on pie.mul_limbs, ship pie.ship_limbs)
             mul_limbs=pie.mul_limbs, ship_limbs=pie.ship_limbs,
         ).data
 

@@ -49,7 +49,7 @@ def _ms(step, args, iters=20):
 def main():
     from __graft_entry__ import _build_small_pie
     from nested_hashing_psi_tpu.fhe.bgv import Ciphertext
-    from nested_hashing_psi_tpu.fhe.params import default_num_limbs
+    from nested_hashing_psi_tpu.fhe.params import bfv_batched_client_limbs
     from nested_hashing_psi_tpu.pie.batched_fhe import (
         batched_pie_forward,
         position_sum,
@@ -59,7 +59,7 @@ def main():
     H, D, P, simple = 2, 12, 12, 8022
     ring = 1 << 14
     t = (1 << 32) + (1 << 20) + (1 << 19) + 1
-    L = default_num_limbs(t.bit_length(), H - 1, P, "bfv")
+    L = bfv_batched_client_limbs(t.bit_length(), P, H)  # production default
     ctx, sk, rlk, pie, ops, idx_ct, minus_ct = _build_small_pie(
         ring=ring, limbs=L, H=H, P=P, D=D, simple=simple, t=t, scheme="bfv"
     )
@@ -143,14 +143,14 @@ def hps_parts():
 
     from __graft_entry__ import _build_small_pie
     from nested_hashing_psi_tpu.fhe.bgv import Ciphertext, tensor_product
-    from nested_hashing_psi_tpu.fhe.params import default_num_limbs
+    from nested_hashing_psi_tpu.fhe.params import bfv_batched_client_limbs
     from nested_hashing_psi_tpu.pie.batched_fhe import position_sum
     from nested_hashing_psi_tpu.ops.modmath import add_mod
 
     H, D, P, simple = 2, 12, 12, 8022
     ring = 1 << 14
     t = (1 << 32) + (1 << 20) + (1 << 19) + 1
-    L = default_num_limbs(t.bit_length(), H - 1, P, "bfv")
+    L = bfv_batched_client_limbs(t.bit_length(), P, H)  # production default
     ctx, sk, rlk, pie, ops, idx_ct, minus_ct = _build_small_pie(
         ring=ring, limbs=L, H=H, P=P, D=D, simple=simple, t=t, scheme="bfv"
     )

@@ -157,6 +157,31 @@ def bfv_mul_limbs(t_bits: int, num_limbs: int, n_ct_mults: int = 1) -> int:
     return max(2, min(num_limbs, math.ceil(need / 31)))
 
 
+def bfv_batched_client_limbs(
+    t_bits: int, sum_len: int, n_cuckoo_hash_functions: int
+) -> int:
+    """Client/context limb count for the batched-BFV protocol running the
+    rescaled pipeline with folded masks (pie.batched_fhe.combine_ip).
+
+    With the masks folded into the table, the full basis only ever carries
+    the position-sum noise (fresh pk encrypt * t-sized table values * n,
+    summed over the inner positions); the mult chain runs on the rescaled
+    basis with floored operands. So L = max of
+      - one limb above the mult basis (the rescale must drop >= 1 limb to
+        floor the operands),
+      - the position-sum stage's own budget.
+    At 32-bit t this gives 6 limbs (was 7 under the mask-at-the-end model);
+    empirical margin test: tests/test_bfv_rescale.py ring-16384 L=6.
+    """
+    import math
+
+    logn = 14
+    mul = bfv_mul_limbs(t_bits, 99, max(1, n_cuckoo_hash_functions - 1))
+    ip = 21 + t_bits + logn + max(1, sum_len).bit_length()
+    stage = math.ceil((ip + t_bits + 1 + 20) / 31)
+    return max(mul + 1, stage, 2)
+
+
 def bfv_ship_limbs(t_bits: int, mul_limbs: int) -> int:
     """Shipped-result limb count: one more rescale after the final
     multiplication drops the result to the smallest basis whose decrypt

@@ -58,13 +58,25 @@ def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
     # t fits device mod-t arithmetic -- the server constructs its PIE with
     # the same predicate
     leveled = leveled_default(scheme, t, ht.n_cuckoo_hash_functions)
-    limbs = psi.num_limbs or default_num_limbs(
-        t.bit_length(),
-        ht.n_cuckoo_hash_functions - 1,
-        ht.each_cuckoo_table_size,
-        scheme,
-        leveled=leveled,
-    )
+    if scheme == "bfv":
+        # the rescaled pipeline with folded masks needs fewer client limbs
+        # than the mask-at-the-end model (fhe.params.bfv_batched_client_limbs)
+        from nested_hashing_psi_tpu.fhe.params import bfv_batched_client_limbs
+
+        auto = bfv_batched_client_limbs(
+            t.bit_length(),
+            ht.each_cuckoo_table_size,
+            ht.n_cuckoo_hash_functions,
+        )
+    else:
+        auto = default_num_limbs(
+            t.bit_length(),
+            ht.n_cuckoo_hash_functions - 1,
+            ht.each_cuckoo_table_size,
+            scheme,
+            leveled=leveled,
+        )
+    limbs = psi.num_limbs or auto
     sp = SchemeParams(
         ring_dim=psi.ring_dim,
         plaintext_modulus=t,
