@@ -65,6 +65,7 @@ def default_num_limbs(
     scheme: str = "bgv",
     leveled: bool = False,
     eval_sum: bool = False,
+    ring_dim: int = 16384,
 ) -> int:
     """Worst-case-ish noise budget -> number of 31-bit limbs.
 
@@ -83,7 +84,7 @@ def default_num_limbs(
     """
     import math
 
-    logn = 14
+    logn = ring_dim.bit_length() - 1
     fresh = t_bits + 6
     ip = fresh + t_bits + logn + max(1, sum_len).bit_length()
     mults = max(0, n_ct_mults)
@@ -128,7 +129,9 @@ def default_num_limbs(
     return max(2, math.ceil((mask + margin) / LIMB_BITS))
 
 
-def bfv_mul_limbs(t_bits: int, num_limbs: int, n_ct_mults: int = 1) -> int:
+def bfv_mul_limbs(
+    t_bits: int, num_limbs: int, n_ct_mults: int = 1, ring_dim: int = 16384
+) -> int:
     """Mult-basis limb count for the *rescaled* BFV PIE pipeline.
 
     The batched PIE applies the per-depth mask BEFORE the cross-hash
@@ -145,8 +148,8 @@ def bfv_mul_limbs(t_bits: int, num_limbs: int, n_ct_mults: int = 1) -> int:
     """
     import math
 
-    logn = 14
-    floor_noise = t_bits + 13
+    logn = ring_dim.bit_length() - 1
+    floor_noise = t_bits + logn - 1  # t * (rounding small): ~sqrt(n)-scaled
     need = (
         floor_noise
         + max(1, n_ct_mults) * (t_bits + logn + 2)
@@ -158,7 +161,8 @@ def bfv_mul_limbs(t_bits: int, num_limbs: int, n_ct_mults: int = 1) -> int:
 
 
 def bfv_batched_client_limbs(
-    t_bits: int, sum_len: int, n_cuckoo_hash_functions: int
+    t_bits: int, sum_len: int, n_cuckoo_hash_functions: int,
+    ring_dim: int = 16384,
 ) -> int:
     """Client/context limb count for the batched-BFV protocol running the
     rescaled pipeline with folded masks (pie.batched_fhe.combine_ip).
@@ -175,20 +179,23 @@ def bfv_batched_client_limbs(
     """
     import math
 
-    logn = 14
-    mul = bfv_mul_limbs(t_bits, 99, max(1, n_cuckoo_hash_functions - 1))
+    logn = ring_dim.bit_length() - 1
+    mul = bfv_mul_limbs(
+        t_bits, 99, max(1, n_cuckoo_hash_functions - 1), ring_dim=ring_dim
+    )
     ip = 21 + t_bits + logn + max(1, sum_len).bit_length()
     stage = math.ceil((ip + t_bits + 1 + 20) / 31)
     return max(mul + 1, stage, 2)
 
 
-def bfv_ship_limbs(t_bits: int, mul_limbs: int) -> int:
+def bfv_ship_limbs(t_bits: int, mul_limbs: int, ring_dim: int = 16384) -> int:
     """Shipped-result limb count: one more rescale after the final
     multiplication drops the result to the smallest basis whose decrypt
     budget still clears the post-rescale floor (same model as above)."""
     import math
 
-    floor_noise = t_bits + 13
+    logn = ring_dim.bit_length() - 1
+    floor_noise = t_bits + logn - 1
     need = floor_noise + t_bits + 1 + 20
     return max(2, min(mul_limbs, math.ceil(need / 31)))
 

@@ -162,7 +162,9 @@ def combine_ip(
     )  # (D, 2, L, N)
     ip0 = add_mod(ip[0], minus_masked, ctx.p)
     rest = [add_mod(ip[h], minus_data[None], ctx.p) for h in range(1, H)]
-    if mul_limbs is not None and mul_limbs < ctx.L and H > 1:
+    # mul_limbs=0 is the documented "disabled" sentinel (not just None), so
+    # direct callers passing 0 take the flat pipeline too
+    if mul_limbs and mul_limbs < ctx.L and H > 1:
         # Rescaled BFV pipeline: both operands modulus-switch down to the
         # mul_limbs basis (their noise floors there -- the folded mask adds
         # none) and the expensive HPS multiplications + relin run on it.
@@ -310,12 +312,12 @@ class BatchedFHEPIE:
 
             if mul_limbs is None:
                 mul_limbs = bfv_mul_limbs(
-                    ctx.t.bit_length(), ctx.L, self.H - 1
+                    ctx.t.bit_length(), ctx.L, self.H - 1, ring_dim=ctx.n
                 )
             if mul_limbs and mul_limbs < ctx.L:
                 self.mul_limbs = mul_limbs
                 self.ship_limbs = (
-                    bfv_ship_limbs(ctx.t.bit_length(), mul_limbs)
+                    bfv_ship_limbs(ctx.t.bit_length(), mul_limbs, ring_dim=ctx.n)
                     if ship_limbs is None
                     else ship_limbs
                 )

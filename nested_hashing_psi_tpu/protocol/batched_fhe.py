@@ -67,6 +67,7 @@ def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
             t.bit_length(),
             ht.each_cuckoo_table_size,
             ht.n_cuckoo_hash_functions,
+            ring_dim=psi.ring_dim,
         )
     else:
         auto = default_num_limbs(
@@ -75,6 +76,7 @@ def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
             ht.each_cuckoo_table_size,
             scheme,
             leveled=leveled,
+            ring_dim=psi.ring_dim,
         )
     limbs = psi.num_limbs or auto
     sp = SchemeParams(

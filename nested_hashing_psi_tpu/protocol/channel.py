@@ -29,9 +29,12 @@ _MAGIC = b"NHP1"
 # surface (object dtypes, huge itemsizes).
 _ALLOWED_DTYPES = ("<u4", "<u8", "<i8", "|u1")
 _MAX_NDIM = 8
-# Hard ceiling on a single message (largest legitimate frames are streamed
-# ciphertext chunks / checkpoint tensors, well under this).
-MAX_MSG_BYTES = 1 << 34
+# Default hard ceiling on a single message. The largest legitimate frame is
+# a whole-query index-ciphertext upload (~1.5 GB at the Parameters1.txt
+# 2^28 x 4096 geometry with 48-bit items); 2 GiB bounds the allocation an
+# untrusted length prefix can force while clearing every real frame.
+# Channels accept a per-instance override (max_msg_bytes=) for exotic sizes.
+MAX_MSG_BYTES = 1 << 31
 
 
 class WireFormatError(ValueError):
@@ -197,8 +200,9 @@ class TCPChannel(Channel):
     `port`, client connects with retries.
     """
 
-    def __init__(self, sock: socket.socket):
+    def __init__(self, sock: socket.socket, max_msg_bytes: int = MAX_MSG_BYTES):
         super().__init__()
+        self.max_msg_bytes = max_msg_bytes
         self._sock = sock
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         # blocking like the reference's synchronized channel: phases may
@@ -236,10 +240,10 @@ class TCPChannel(Channel):
     def read_msg(self) -> bytes:
         size_buf = self._read_exact(8)
         (size,) = struct.unpack("<Q", size_buf)
-        if size > MAX_MSG_BYTES:
+        if size > self.max_msg_bytes:
             # the length prefix is untrusted: never allocate from it blindly
             raise WireFormatError(
-                f"message length {size} exceeds limit {MAX_MSG_BYTES}"
+                f"message length {size} exceeds limit {self.max_msg_bytes}"
             )
         payload = self._read_exact(size)
         self.bytes_in += 8 + size

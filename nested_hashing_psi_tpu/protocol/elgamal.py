@@ -173,30 +173,34 @@ class _ElGamalServerBase(PSIServerBase):
         compute, submitted to a worker pool as its input arrives -- compute
         overlaps the remaining receives. Safe because each PIE owns its
         randomness (SystemRandom) and the native EC batch calls release the
-        GIL (pure compute, ctypes). Returns (ordered results, compute_us:
-        wall-clock of the receive+compute section for nThreads > 1, summed
-        pure compute for the serial path -- matching the reference's
-        accounting, which also overlaps receive with compute)."""
+        GIL (pure compute, ctypes). Returns (ordered results, compute_us):
+        compute_us is the SUM of per-job compute durations measured inside
+        the worker, identically in both modes, so exported
+        OnlineComputationTime numbers are comparable across --nThreads
+        settings (wall-clock of the overlapped section is what the Online
+        phase time already captures)."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
+        durations_ns: list[int] = []
+
+        def timed_job(pie, *args):
+            begin = _time.monotonic_ns()
+            out = job(pie, *args)
+            durations_ns.append(_time.monotonic_ns() - begin)  # GIL-atomic
+            return out
+
         n_threads = max(1, min(self.params.number_of_threads, self.n_pies))
         if n_threads == 1:
-            compute_us = 0
-            results = []
-            for pie in self.pies:
-                args = recv_inputs(pie)
-                begin = _time.monotonic_ns()
-                results.append(job(pie, *args))
-                compute_us += (_time.monotonic_ns() - begin) // 1000
-            return results, compute_us
-        begin = _time.monotonic_ns()
-        with ThreadPoolExecutor(max_workers=n_threads) as ex:
-            futures = [
-                ex.submit(job, pie, *recv_inputs(pie)) for pie in self.pies
-            ]
-            results = [f.result() for f in futures]
-        return results, (_time.monotonic_ns() - begin) // 1000
+            results = [timed_job(pie, *recv_inputs(pie)) for pie in self.pies]
+        else:
+            with ThreadPoolExecutor(max_workers=n_threads) as ex:
+                futures = [
+                    ex.submit(timed_job, pie, *recv_inputs(pie))
+                    for pie in self.pies
+                ]
+                results = [f.result() for f in futures]
+        return results, sum(durations_ns) // 1000
 
 
 # ---------------------------------------------------------------------------

@@ -44,7 +44,8 @@ def _scheme_params(psi: PSIParams, ht: HashTableParams) -> SchemeParams:
     scheme = "bgv" if psi.bgv else "bfv"
     # no ct x ct; eval_sum models the rotation-ladder key-switch noise
     limbs = psi.num_limbs or default_num_limbs(
-        t.bit_length(), 0, ht.each_cuckoo_table_size + 1, scheme, eval_sum=True
+        t.bit_length(), 0, ht.each_cuckoo_table_size + 1, scheme,
+        eval_sum=True, ring_dim=psi.ring_dim,
     )
     sp = SchemeParams(
         ring_dim=psi.ring_dim, plaintext_modulus=t, num_limbs=limbs, scheme=scheme

@@ -27,8 +27,18 @@ def save_batched_pie(path: str, pie) -> None:
         version=FORMAT_VERSION,
         table_pt=np.asarray(pie.table_pt),
         mask_pt=np.asarray(pie.mask_pt),
+        # dims[5:] (appended within v3, absent in early-v3 files): the
+        # resolved rescaled-pipeline bases and table residency -- a PIE saved
+        # with explicit overrides (e.g. mul_limbs=0 disabling the rescale)
+        # must NOT resume on the auto-derived pipeline.
         dims=np.array(
-            [pie.H, pie.D, pie.P, pie.batch_slots, int(pie.leveled)], np.int64
+            [
+                pie.H, pie.D, pie.P, pie.batch_slots, int(pie.leveled),
+                -1 if pie.mul_limbs is None else pie.mul_limbs,
+                -1 if pie.ship_limbs is None else pie.ship_limbs,
+                int(pie.host_table),
+            ],
+            np.int64,
         ),
         scheme=np.array(
             [
@@ -88,10 +98,20 @@ def load_batched_pie(path: str, ctx=None, rlk=None):
     pie.H, pie.D, pie.P, pie.batch_slots = dims[:4]
     pie.leveled = bool(dims[4]) if len(dims) > 4 else False
     table = z["table_pt"]
-    # beyond-HBM tables resume host-resident (streamed online path)
-    pie.host_table = table.nbytes > (12 << 30)
+    if len(dims) > 7:
+        pie.host_table = bool(dims[7])
+    else:
+        # beyond-HBM tables resume host-resident (streamed online path)
+        pie.host_table = table.nbytes > (12 << 30)
     pie.table_pt = table if pie.host_table else jnp.asarray(table)
     pie.mask_pt = jnp.asarray(z["mask_pt"])
     pie._run = None
-    pie._setup_mul_limbs(None, None)
+    if len(dims) > 6:
+        # restore the exact saved pipeline bases (-1 encodes "resolved to
+        # None"; 0 forces the disabled/flat path through _setup_mul_limbs)
+        mul = 0 if dims[5] < 0 else dims[5]
+        ship = None if dims[6] < 0 else dims[6]
+        pie._setup_mul_limbs(mul, ship)
+    else:
+        pie._setup_mul_limbs(None, None)
     return pie
