@@ -19,6 +19,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+from nested_hashing_psi_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()  # env var alone is dead under sitecustomize
 
 REFERENCE_PARAMS = "/root/reference/Performance-Evaluation/Parameters1.txt"
 

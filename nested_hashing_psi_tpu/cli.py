@@ -27,6 +27,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", plat)
+    # Persistent executable cache: repeated sweep rows / protocol runs skip
+    # the remote compile entirely (see utils.jaxcache for why the env var
+    # alone is dead under this sandbox's sitecustomize).
+    from nested_hashing_psi_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in ("server", "client"):

@@ -64,6 +64,9 @@ def run_in_process(
     Returns the client instance (with intersection + measurements) and the
     server instance.
     """
+    from nested_hashing_psi_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     name = protocol or protocol_name(params)
     client_cls, server_cls = make_protocol_pair(name)
 

@@ -156,3 +156,44 @@ def test_fixed_data_input():
 def test_item_roundtrip():
     vals = [2, 65535, 2**64 - 1, 2**64, 2**127 - 1]
     assert items_to_ints(items_from_ints(vals)) == vals
+
+
+def test_hierarchical_parallel_build_matches_invariants():
+    """Multi-process (outer-bin-sharded) build places every item correctly
+    (same nesting invariant as the serial test above) and fills the same
+    number of slots as a serial build of the same input."""
+    n_simple, n_cuckoo = 2, 2
+    h = TabulationHashing(seed=321, n_hash_functions=n_simple + n_cuckoo)
+
+    def build(n_workers):
+        hct = HierarchicalCuckooHashTable(
+            h,
+            each_simple_table_size=16,
+            each_cuckoo_table_size=8,
+            n_simple_hash_functions=n_simple,
+            n_cuckoo_hash_functions=n_cuckoo,
+            max_items_per_position=4,
+            seed=5,
+        )
+        hct.insert_all(items, n_workers=n_workers)
+        return hct
+
+    items = items_from_ints(list(range(1000, 1200)))
+    par = build(2)
+    ser = build(1)
+    # same occupancy (layout may differ: per-worker eviction streams)
+    occ_par = (par.table != 0).any(axis=-1).sum()
+    occ_ser = (ser.table != 0).any(axis=-1).sum()
+    assert occ_par == occ_ser == 2 * len(items)
+
+    for s in range(n_simple):
+        outer = h.hash_index(items, s, 16)
+        for i, it in enumerate(items):
+            inner = par.table[s, outer[i]]
+            found = False
+            for ch in range(n_cuckoo):
+                t = ch if par.cuckoo_multi_table else 0
+                pos = h.hash_index(it[None, :], n_simple + ch, 8)[0]
+                if (inner[t, :, pos] == it).all(axis=1).any():
+                    found = True
+            assert found, f"item {i} missing under simple hf {s} (parallel)"
