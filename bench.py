@@ -198,6 +198,59 @@ def bench_pie_online():
     _sync(chain(*sargs, chain_iters))
     device_ms = (time.perf_counter() - t0) / (chain_iters + 1) * 1e3
 
+    # Client-visible PIPELINED latency (the headline ms_per_query): Q
+    # queries answered in ONE dispatch -- the server's batched PIE (lax.map)
+    # FUSED with the client's fully on-device decrypt to packed zero-mask
+    # words (fhe.device_decrypt) -- then one 4*Q*N/32-byte fetch. This is
+    # what a client streaming queries experiences per query; the ~40 ms
+    # relay dispatch overhead amortizes over the batch. Query 0 is the real
+    # query (its mask is validated below); the others are rotations so no
+    # two map iterations are loop-invariant.
+    from nested_hashing_psi_tpu.fhe.device_decrypt import DeviceDecryptor
+
+    Q = 32
+    L_ship = pie.ship_limbs or ctx.L
+    sctx = ctx.context_for_limbs(L_ship) if L_ship < ctx.L else ctx
+    ssk = ctx.shrink_key_to(sk, L_ship)
+    dec = DeviceDecryptor(sctx)
+    use_kernel = jax.default_backend() == "tpu"
+
+    def pipeline(idx_b, minus_b, tbl, msk, rk, s_mont):
+        def one(args):
+            i, m = args
+            out = batched_pie_forward(
+                ctx, rk, i, m, tbl, msk, use_kernel=use_kernel,
+                mul_limbs=pie.mul_limbs, ship_limbs=pie.ship_limbs,
+            )
+            lo, hi = dec._slots_impl(out.data, s_mont)
+            anyz = ((lo == 0) & (hi == 0)).any(axis=0)  # (N,)
+            bits = anyz.reshape(-1, 32).astype(jnp.uint32) << jnp.arange(
+                32, dtype=jnp.uint32
+            )
+            return bits.sum(axis=1)  # packed (N/32,) words
+
+        return jax.lax.map(one, (idx_b, minus_b))
+
+    pipe = jax.jit(pipeline)
+    idx_b = jnp.stack(
+        [jnp.roll(idx_ct.data, q, axis=-1) for q in range(Q)]
+    )
+    minus_b = jnp.stack([minus_ct.data] * Q)
+    pargs = (idx_b, minus_b, pie.table_pt, pie.mask_pt, rlk, ssk.s_mont)
+    masks = np.asarray(pipe(*pargs))  # compile + correctness fetch
+    # validate query 0 against the host-decrypted single run
+    slots, _ = ctx.decrypt(out, sk)
+    want0 = np.packbits(
+        np.asarray(slots, dtype=object).__eq__(0).any(axis=0).astype(np.uint8),
+        bitorder="little",
+    ).view(np.uint32)
+    assert np.array_equal(masks[0], want0), "pipelined mask mismatch"
+    best_pipe = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(pipe(*pargs))
+        best_pipe = min(best_pipe, (time.perf_counter() - t0) / Q * 1e3)
+
     counts = batched_pie_op_counts(H, D, P, ctx.L, ctx.n)
     modmuls = counts["ct_pt_modmuls"] + counts["approx_ntt_modmuls"]
     return {
@@ -207,7 +260,9 @@ def bench_pie_online():
         "P": P,
         "limbs": ctx.L,
         "batch_slots": 2 * simple,
-        "ms_per_query": round(ms, 2),
+        "ms_per_query": round(best_pipe, 2),
+        "pipeline_Q": Q,
+        "ms_per_query_single": round(ms, 2),
         "ms_per_query_steady": round(steady_ms, 2),
         "ms_per_query_device": round(device_ms, 2),
         "depth_rows_per_sec": round(D / (device_ms / 1e3), 1),

@@ -78,20 +78,22 @@ def main():
         if args.protocol == "batched" and ht.batch_slots > psi.ring_dim:
             print(f"skip row (batch {ht.batch_slots} > ring {psi.ring_dim}): {row}")
             continue
-        print(f"run {dict(row)} x{args.runs}")
+        print(f"run {dict(row)} x{args.runs}", flush=True)
         for _ in range(args.runs):
-            client, server, ok = run_in_process(psi, ht)
-            client.export_path = type(client.export_path)(
-                os.path.join(args.outdir, client.export_path.name)
-            )
-            client.export_measurements()
+            client, server, ok = run_in_process(psi, ht, export_dir=args.outdir)
+            if not psi.export_performance:
+                client.export_path = type(client.export_path)(
+                    os.path.join(args.outdir, client.export_path.name)
+                )
+                client.export_measurements()
             status = "OK" if ok else "MISMATCH"
             m = client.measurements
             print(
                 f"  [{status}] setup {m['Setup'].duration_us/1e6:.2f}s  "
                 f"offline {m['Offline'].duration_us/1e6:.2f}s  "
                 f"online {m['Online'].duration_us/1e6:.2f}s  "
-                f"(server online compute {server.online_computation_us/1e3:.1f}ms)"
+                f"(server online compute {server.online_computation_us/1e3:.1f}ms)",
+                flush=True,
             )
 
 

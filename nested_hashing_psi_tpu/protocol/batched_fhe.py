@@ -28,6 +28,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
@@ -172,11 +173,31 @@ class BatchedFHEPSIClient(PSIClientBase):
         n_limbs = result.data.shape[-2]
         dctx = self.ctx.context_for_limbs(n_limbs)
         dsk = self.ctx.shrink_key_to(self.sk, n_limbs)
-        slots, noise = dctx.decrypt(result, dsk, length=self.ht.batch_slots)
-        self.noise_bits = noise
-        self.intersection_calculated = self.client_ops.extract_intersection(
-            np.asarray(slots)
-        )
+        if result.form == "bfv" and jax.default_backend() == "tpu":
+            # fully on-device decrypt -> per-slot zero mask: fetches 16 KB
+            # of booleans instead of the multi-MB phase tensor the host CRT
+            # path needs (fhe.device_decrypt; bit-exact oracle-tested).
+            # Noise readout needs the host path: only when asked (verbose).
+            from nested_hashing_psi_tpu.fhe.device_decrypt import DeviceDecryptor
+
+            dec = DeviceDecryptor(dctx)
+            mask = np.asarray(
+                dec.zero_mask(result.data, dsk.s_mont, length=self.ht.batch_slots)
+            )
+            self.noise_bits = None
+            if self.params.verbose:
+                _, self.noise_bits = dctx.decrypt(
+                    result, dsk, length=self.ht.batch_slots
+                )
+            self.intersection_calculated = (
+                self.client_ops.extract_intersection_mask(mask)
+            )
+        else:
+            slots, noise = dctx.decrypt(result, dsk, length=self.ht.batch_slots)
+            self.noise_bits = noise
+            self.intersection_calculated = self.client_ops.extract_intersection(
+                np.asarray(slots)
+            )
 
 
 class BatchedFHEPSIServer(PSIServerBase):

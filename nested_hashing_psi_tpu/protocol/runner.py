@@ -58,11 +58,13 @@ def run_in_process(
     ht: HashTableParams,
     data_factory=None,
     protocol: str | None = None,
+    export_dir: str = ".",
 ):
     """Run client+server in two threads over a loopback channel.
 
     Returns the client instance (with intersection + measurements) and the
-    server instance.
+    server instance. export_dir: where both parties write their CSVs when
+    params.export_performance is set.
     """
     from nested_hashing_psi_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -81,8 +83,8 @@ def run_in_process(
 
     factory = data_factory or default_factory
     ch_client, ch_server = LoopbackChannel.pair(pass_device_arrays=True)
-    client = client_cls(factory(), params, ht, ch_client)
-    server = server_cls(factory(), params, ht, ch_server)
+    client = client_cls(factory(), params, ht, ch_client, export_dir=export_dir)
+    server = server_cls(factory(), params, ht, ch_server, export_dir=export_dir)
 
     errors: list[BaseException] = []
 

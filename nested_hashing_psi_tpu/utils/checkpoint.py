@@ -106,6 +106,7 @@ def load_batched_pie(path: str, ctx=None, rlk=None):
     pie.table_pt = table if pie.host_table else jnp.asarray(table)
     pie.mask_pt = jnp.asarray(z["mask_pt"])
     pie._run = None
+    pie._run_many = None
     if len(dims) > 6:
         # restore the exact saved pipeline bases (-1 encodes "resolved to
         # None"; 0 forces the disabled/flat path through _setup_mul_limbs)

@@ -119,3 +119,24 @@ def test_host_table_pie_matches_device(pie_setup):
     a = dev.run(idx_ct, minus_ct)
     b = host.run(idx_ct, minus_ct)
     np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
+def test_run_many_matches_run(pie_setup):
+    """Q-batched single-dispatch path (run_many) is bit-identical to Q
+    separate run() dispatches."""
+    import jax.numpy as jnp
+
+    ctx, sk, rlk, hct, client_table, client_vals = pie_setup
+    pie = BatchedFHEPIE(ctx, hct, rlk, mask_seed=21)
+    ops = BatchedFHEClientOps(
+        ctx, client_table, N_SIMPLE_HF, N_CUCKOO_HF, CUCKOO_SIZE
+    )
+    idx_ct, minus_ct = ops.encrypt_query(sk)
+    singles = [np.asarray(pie.run(idx_ct, minus_ct).data) for _ in range(3)]
+    batch = pie.run_many(
+        jnp.stack([idx_ct.data] * 3), jnp.stack([minus_ct.data] * 3)
+    )
+    got = np.asarray(batch)
+    assert got.shape[0] == 3
+    for q in range(3):
+        assert np.array_equal(got[q], singles[q])
