@@ -72,7 +72,7 @@ class EcGroup:
         self.g = (gx, gy)
         # native batch backend (native/nhpsi_ec.cpp): same group law, same
         # affine results, ~50x a Python bigint scalar mult; None -> pure
-        # Python (P-384/521 exceed the 4x64-limb field and stay Python)
+        # Python (templated limb widths cover every tabled prime curve)
         from nested_hashing_psi_tpu.utils import native_ec
 
         self._native = native_ec.for_curve(self.p, self.a)
@@ -355,8 +355,9 @@ class EcGroup:
         arr = np.frombuffer(data, np.uint8).reshape(count, k)
         prefixes = arr[:, 0]
         inf = prefixes == 0
-        buf = np.zeros((count, 32), np.uint8)
-        buf[:, 32 - self.nbytes :] = arr[:, 1:]
+        nlb = self._native.nl * 8  # limb width follows the curve
+        buf = np.zeros((count, nlb), np.uint8)
+        buf[:, nlb - self.nbytes :] = arr[:, 1:]
         xs = np.ascontiguousarray(buf[:, ::-1]).view(np.uint64)  # LE limbs
         ys, ok = self._native.decompress_batch(self.b, xs, prefixes & 1)
         if not (ok | inf).all():

@@ -5,6 +5,11 @@ performance, not capability. All batch calls take/return affine points as
 (x, y) int tuples or None (infinity), matching EcGroup's representation
 exactly -- the native backend implements the same group law, so results are
 identical point-for-point.
+
+Limb width is per-curve (4 for <=256-bit fields, 6 for P-384, 9 for P-521,
+matching the reference's full prime-curve dispatch,
+ElGamalPSIServer.hpp:32-46); every call passes n_limbs first and the wire
+arrays are (n, 2*NL) / (n, NL) uint64.
 """
 
 from __future__ import annotations
@@ -49,31 +54,31 @@ def get_lib():
                     capture_output=True,
                 )
             lib = ctypes.CDLL(_SO)
-            lib.ec_mul_batch.restype = ctypes.c_int
-            lib.ec_mul_batch.argtypes = [
-                _U64P, _U64P, ctypes.c_int, _U64P, _U8P, _U64P,
+            lib.ec_mul_batch2.restype = ctypes.c_int
+            lib.ec_mul_batch2.argtypes = [
+                ctypes.c_int, _U64P, _U64P, ctypes.c_int, _U64P, _U8P, _U64P,
                 ctypes.c_int64, _U64P, _U8P,
             ]
-            lib.ec_multi_mul_batch.restype = ctypes.c_int
-            lib.ec_multi_mul_batch.argtypes = [
-                _U64P, _U64P, ctypes.c_int64, ctypes.c_int64, _U64P, _U8P,
-                _U64P, _U64P, _U8P,
+            lib.ec_multi_mul_batch2.restype = ctypes.c_int
+            lib.ec_multi_mul_batch2.argtypes = [
+                ctypes.c_int, _U64P, _U64P, ctypes.c_int64, ctypes.c_int64,
+                _U64P, _U8P, _U64P, _U64P, _U8P,
             ]
-            lib.ec_sum_batch.restype = ctypes.c_int
-            lib.ec_sum_batch.argtypes = [
-                _U64P, _U64P, ctypes.c_int64, ctypes.c_int64, _U64P, _U8P,
-                _U64P, _U8P,
+            lib.ec_sum_batch2.restype = ctypes.c_int
+            lib.ec_sum_batch2.argtypes = [
+                ctypes.c_int, _U64P, _U64P, ctypes.c_int64, ctypes.c_int64,
+                _U64P, _U8P, _U64P, _U8P,
             ]
-            lib.ec_decompress_batch.restype = ctypes.c_int
-            lib.ec_decompress_batch.argtypes = [
-                _U64P, _U64P, _U64P, _U64P, _U64P, _U8P, ctypes.c_int64,
-                _U64P, _U8P,
+            lib.ec_decompress_batch2.restype = ctypes.c_int
+            lib.ec_decompress_batch2.argtypes = [
+                ctypes.c_int, _U64P, _U64P, _U64P, _U64P, _U64P, _U8P,
+                ctypes.c_int64, _U64P, _U8P,
             ]
             _lib = lib
         except (OSError, subprocess.CalledProcessError, AttributeError):
-            # AttributeError: a prebuilt .so compiled from older source can
-            # lack newer entry points (e.g. ec_decompress_batch); degrade to
-            # the pure-Python path instead of crashing EcGroup construction.
+            # AttributeError: a prebuilt .so compiled from older source lacks
+            # the current entry points; degrade to the pure-Python path
+            # instead of crashing EcGroup construction.
             _lib = None
         return _lib
 
@@ -86,67 +91,82 @@ def _p8(a: np.ndarray):
     return a.ctypes.data_as(_U8P)
 
 
-def _int_limbs(v: int) -> np.ndarray:
-    return np.frombuffer(int(v).to_bytes(32, "little"), dtype=np.uint64).copy()
-
-
-def _points_to_arrays(points) -> tuple[np.ndarray, np.ndarray]:
-    n = len(points)
-    xy = np.zeros((n, 8), np.uint64)
-    inf = np.zeros(n, np.uint8)
-    for i, pt in enumerate(points):
-        if pt is None:
-            inf[i] = 1
-        else:
-            xy[i, :4] = _int_limbs(pt[0])
-            xy[i, 4:] = _int_limbs(pt[1])
-    return xy, inf
-
-
-def _scalars_to_array(scalars) -> np.ndarray:
-    n = len(scalars)
-    out = np.zeros((n, 4), np.uint64)
-    for i, s in enumerate(scalars):
-        out[i] = _int_limbs(s)
-    return out
-
-
-def _arrays_to_points(xy: np.ndarray, inf: np.ndarray) -> list:
-    out = []
-    for i in range(len(inf)):
-        if inf[i]:
-            out.append(None)
-        else:
-            b = xy[i].tobytes()
-            out.append(
-                (int.from_bytes(b[:32], "little"), int.from_bytes(b[32:], "little"))
-            )
-    return out
+def limbs_for(p: int) -> int | None:
+    bits = p.bit_length()
+    if bits <= 256:
+        return 4
+    if bits <= 384:
+        return 6
+    if bits <= 576:
+        return 9
+    return None
 
 
 class NativeEc:
-    """Per-curve handle (caches the p/a limb arrays)."""
+    """Per-curve handle (caches the p/a limb arrays + limb width)."""
 
     def __init__(self, p: int, a: int):
         self.p_int = p
-        self.p_arr = _int_limbs(p)
-        self.a_arr = _int_limbs(a % p)
+        self.nl = limbs_for(p)
+        assert self.nl is not None
+        self.p_arr = self._limbs(p)
+        self.a_arr = self._limbs(a % p)
+
+    def _limbs(self, v: int) -> np.ndarray:
+        return np.frombuffer(
+            int(v).to_bytes(8 * self.nl, "little"), dtype=np.uint64
+        ).copy()
+
+    def _points_to_arrays(self, points) -> tuple[np.ndarray, np.ndarray]:
+        nl = self.nl
+        n = len(points)
+        xy = np.zeros((n, 2 * nl), np.uint64)
+        inf = np.zeros(n, np.uint8)
+        for i, pt in enumerate(points):
+            if pt is None:
+                inf[i] = 1
+            else:
+                xy[i, :nl] = self._limbs(pt[0])
+                xy[i, nl:] = self._limbs(pt[1])
+        return xy, inf
+
+    def _scalars_to_array(self, scalars) -> np.ndarray:
+        out = np.zeros((len(scalars), self.nl), np.uint64)
+        for i, s in enumerate(scalars):
+            out[i] = self._limbs(s)
+        return out
+
+    def _arrays_to_points(self, xy: np.ndarray, inf: np.ndarray) -> list:
+        nl = self.nl
+        out = []
+        for i in range(len(inf)):
+            if inf[i]:
+                out.append(None)
+            else:
+                b = xy[i].tobytes()
+                out.append(
+                    (
+                        int.from_bytes(b[: 8 * nl], "little"),
+                        int.from_bytes(b[8 * nl :], "little"),
+                    )
+                )
+        return out
 
     def decompress_batch(self, b: int, xs: np.ndarray, parities: np.ndarray):
-        """SEC1 decompression, p = 3 (mod 4) curves only: xs (n, 4) uint64
-        little-endian limbs -> (ys (n, 4) limbs, ok (n,) uint8)."""
+        """SEC1 decompression, p = 3 (mod 4) curves only: xs (n, NL) uint64
+        little-endian limbs -> (ys (n, NL) limbs, ok (n,) uint8)."""
         assert self.p_int % 4 == 3
         lib = get_lib()
         assert lib is not None
         n = len(xs)
-        b_arr = _int_limbs(b % self.p_int)
-        e_arr = _int_limbs((self.p_int + 1) // 4)
-        ys = np.zeros((n, 4), np.uint64)
+        b_arr = self._limbs(b % self.p_int)
+        e_arr = self._limbs((self.p_int + 1) // 4)
+        ys = np.zeros((n, self.nl), np.uint64)
         ok = np.zeros(n, np.uint8)
         xs = np.ascontiguousarray(xs, np.uint64)
         par = np.ascontiguousarray(parities, np.uint8)
-        lib.ec_decompress_batch(
-            _p(self.p_arr), _p(self.a_arr), _p(b_arr), _p(e_arr),
+        lib.ec_decompress_batch2(
+            self.nl, _p(self.p_arr), _p(self.a_arr), _p(b_arr), _p(e_arr),
             _p(xs), _p8(par), n, _p(ys), _p8(ok),
         )
         return ys, ok
@@ -157,47 +177,47 @@ class NativeEc:
         lib = get_lib()
         assert lib is not None
         n = len(scalars)
-        bxy, binf = _points_to_arrays(bases if not shared else bases[:1])
-        s = _scalars_to_array(scalars)
-        oxy = np.zeros((n, 8), np.uint64)
+        bxy, binf = self._points_to_arrays(bases if not shared else bases[:1])
+        s = self._scalars_to_array(scalars)
+        oxy = np.zeros((n, 2 * self.nl), np.uint64)
         oinf = np.zeros(n, np.uint8)
-        lib.ec_mul_batch(
-            _p(self.p_arr), _p(self.a_arr), 1 if shared else 0,
+        lib.ec_mul_batch2(
+            self.nl, _p(self.p_arr), _p(self.a_arr), 1 if shared else 0,
             _p(bxy), _p8(binf), _p(s), n, _p(oxy), _p8(oinf),
         )
-        return _arrays_to_points(oxy, oinf)
+        return self._arrays_to_points(oxy, oinf)
 
     def multi_mul_groups(self, points, scalars, n_groups: int, k: int) -> list:
         """n_groups simultaneous multi-exps of k (point, scalar) pairs each
         (flat lists of length n_groups*k)."""
         lib = get_lib()
         assert lib is not None
-        pxy, pinf = _points_to_arrays(points)
-        s = _scalars_to_array(scalars)
-        oxy = np.zeros((n_groups, 8), np.uint64)
+        pxy, pinf = self._points_to_arrays(points)
+        s = self._scalars_to_array(scalars)
+        oxy = np.zeros((n_groups, 2 * self.nl), np.uint64)
         oinf = np.zeros(n_groups, np.uint8)
-        lib.ec_multi_mul_batch(
-            _p(self.p_arr), _p(self.a_arr), n_groups, k,
+        lib.ec_multi_mul_batch2(
+            self.nl, _p(self.p_arr), _p(self.a_arr), n_groups, k,
             _p(pxy), _p8(pinf), _p(s), _p(oxy), _p8(oinf),
         )
-        return _arrays_to_points(oxy, oinf)
+        return self._arrays_to_points(oxy, oinf)
 
     def sum_groups(self, points, n_groups: int, k: int) -> list:
         """n_groups sums of k points each (flat list of length n_groups*k)."""
         lib = get_lib()
         assert lib is not None
-        pxy, pinf = _points_to_arrays(points)
-        oxy = np.zeros((n_groups, 8), np.uint64)
+        pxy, pinf = self._points_to_arrays(points)
+        oxy = np.zeros((n_groups, 2 * self.nl), np.uint64)
         oinf = np.zeros(n_groups, np.uint8)
-        lib.ec_sum_batch(
-            _p(self.p_arr), _p(self.a_arr), n_groups, k,
+        lib.ec_sum_batch2(
+            self.nl, _p(self.p_arr), _p(self.a_arr), n_groups, k,
             _p(pxy), _p8(pinf), _p(oxy), _p8(oinf),
         )
-        return _arrays_to_points(oxy, oinf)
+        return self._arrays_to_points(oxy, oinf)
 
 
 def for_curve(p: int, a: int) -> NativeEc | None:
-    """Native handle for an odd prime field p < 2^256, or None."""
-    if p.bit_length() > 256 or p % 2 == 0 or get_lib() is None:
+    """Native handle for an odd prime field (<= 576 bits), or None."""
+    if limbs_for(p) is None or p % 2 == 0 or get_lib() is None:
         return None
     return NativeEc(p, a)

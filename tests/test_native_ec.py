@@ -1,6 +1,6 @@
 """Native EC backend (native/nhpsi_ec.cpp) vs the pure-Python group law:
 identical affine results for every batch entry point, across the 4-limb
-curves (P-192/224/256)."""
+prime curves (P-192/224/256 at 4 limbs, P-384 at 6, P-521 at 9)."""
 
 import random
 
@@ -14,7 +14,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("curve", ["P-192", "P-224", "P-256"])
+@pytest.mark.parametrize("curve", ["P-192", "P-224", "P-256", "P-384", "P-521"])
 def test_native_matches_python(curve):
     g = EcGroup(curve)
     assert g._native is not None
