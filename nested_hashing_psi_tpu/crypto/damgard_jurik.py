@@ -36,6 +36,20 @@ class DamgardJurik:
         # d = 1 mod N^s and 0 mod lambda (CRT)
         self.d = _crt2(1, self.n_s, 0, self._lam)
 
+    @classmethod
+    def from_public(cls, n: int, s: int = 1) -> "DamgardJurik":
+        """Public-key-only handle (a peer's modulus): encrypt/add/mult only;
+        decrypt raises (no factorization). The reference's server side works
+        exactly so (DamgardJurikEnc.setKey with only the public key)."""
+        dj = cls.__new__(cls)
+        dj._rand = secrets.SystemRandom()
+        dj.s = s
+        dj.n = n
+        dj.n_s = n**s
+        dj.n_s1 = n ** (s + 1)
+        dj.d = None
+        return dj
+
     def encrypt(self, m: int) -> int:
         m %= self.n_s
         r = self._rand.randrange(1, self.n)

@@ -110,7 +110,9 @@ def evaluate_nested(
                 seed=seed,
             )
             try:
-                hct.insert_all(elems)
+                # serial build: trials measure the insertion envelope, and
+                # worker processes would fight the machine's other jobs
+                hct.insert_all(elems, n_workers=1)
             except CuckooFailure:
                 errors += 1
         rows.append((slack, eff, errors))

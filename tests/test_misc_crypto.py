@@ -33,3 +33,48 @@ def test_aes_ctr_prg_reset_reproduces_stream():
     # distinct keys -> distinct streams
     other = AesCtrPrg(b"fedcba9876543210").get_bits(1000)
     assert not np.array_equal(first, other)
+
+
+def test_dj_socket_pair_equality_protocol():
+    """Two-party DJ equality over real localhost sockets (the reference's
+    TestServerDJ/TestClientDJ message flow, tests/TestServerDJ.cpp:14-140):
+    matching and differing cases, plus the timing CSV export."""
+    import threading
+
+    from nested_hashing_psi_tpu.protocol.channel import TCPChannel
+    from nested_hashing_psi_tpu.protocol.dj_pair import (
+        run_dj_client,
+        run_dj_server,
+    )
+
+    def once(differ: bool, port: int, export=None) -> bool:
+        out = {}
+
+        def server():
+            ch = TCPChannel.listen("127.0.0.1", port)
+            try:
+                run_dj_server(ch, 8, export_path=export)
+            finally:
+                ch.close()
+
+        th = threading.Thread(target=server, daemon=True)
+        th.start()
+        ch = TCPChannel.connect("127.0.0.1", port)
+        try:
+            ok = run_dj_client(ch, 8, elem_index=3, differ=differ,
+                               modulus_bits=256)
+        finally:
+            ch.close()
+        th.join(timeout=60)
+        return ok
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        csv = os.path.join(d, "M_S8_K256.csv")
+        assert once(differ=False, port=47211, export=csv) is True
+        assert once(differ=True, port=47212) is False
+        lines = open(csv).read().splitlines()
+        assert [r.split(",")[0] for r in lines] == [
+            "Send Index Vector", "Multiplication", "Addition",
+        ]
