@@ -20,6 +20,11 @@ from nested_hashing_psi_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()  # env var alone is dead under sitecustomize
 
+if os.environ.get("JAX_PLATFORMS"):  # sitecustomize pre-registers the TPU
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -44,7 +49,17 @@ def main():
         help="override maxPP = eachCuckooTableSize",
     )
     ap.add_argument("--intersection", type=int, default=0)
+    ap.add_argument(
+        "--resume", default=None,
+        help="FRESH-PROCESS resume: skip build entirely, load the PIE from "
+        "this checkpoint plus its .client.npz sidecar (written by "
+        "--checkpoint), answer one online query and verify the extracted "
+        "intersection against the seeded generator ground truth",
+    )
     args = ap.parse_args()
+
+    if args.resume:
+        return resume_main(args)
 
     from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
     from nested_hashing_psi_tpu.protocol.runner import run_in_process
@@ -99,10 +114,11 @@ def main():
         f"server offline compute {server.offline_computation_us/1e6:.1f}s | "
         f"server ONLINE compute {server.online_computation_us/1e3:.1f}ms"
     )
-    print(
-        f"client noise margin: {client.noise_bits:.0f} bits used of "
-        f"{client.ctx.params.q.bit_length()}"
-    )
+    if client.noise_bits is not None:
+        print(
+            f"client noise margin: {client.noise_bits:.0f} bits used of "
+            f"{client.ctx.params.q.bit_length()}"
+        )
     up = m["Online"].bytes_out / 1e6
     down = m["Online"].bytes_in / 1e6
     print(f"online wire: {up:.1f} MB up, {down:.1f} MB down")
@@ -121,6 +137,18 @@ def main():
         save_batched_pie(args.checkpoint, server.pie)
         save_s = time.time() - t0
         size_mb = os.path.getsize(args.checkpoint) / 1e6
+        # sidecar for FRESH-PROCESS resume verification (--resume): the
+        # client's query cts, secret key and cuckoo table (the PIE artifact
+        # itself is client-key-free except for the relin key it embeds)
+        np.savez_compressed(
+            args.checkpoint + ".client.npz",
+            idx=np.asarray(client.idx_ct.data),
+            minus=np.asarray(client.minus_ct.data),
+            s_mont=np.asarray(client.sk.s_mont),
+            s_ntt=np.asarray(client.sk.s_ntt),
+            client_table=np.asarray(client.client_table.table),
+            expected=np.asarray(client.data.get_intersection_set()),
+        )
         t0 = time.time()
         resumed = load_batched_pie(args.checkpoint)  # file only: ctx+rlk inside
         load_s = time.time() - t0
@@ -135,6 +163,49 @@ def main():
             f"{'bit-exact' if match else 'MISMATCH'} ({q_s:.1f}s for both runs)"
         )
         assert match
+
+
+def resume_main(args):
+    """Fresh-process resume (VERDICT r4 item 3): nothing from the build
+    process except the checkpoint + sidecar files."""
+    import types
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nested_hashing_psi_tpu.fhe.bgv import Ciphertext, SecretKey
+    from nested_hashing_psi_tpu.pie.batched_fhe import BatchedFHEClientOps
+    from nested_hashing_psi_tpu.utils.checkpoint import load_batched_pie
+
+    t0 = time.time()
+    pie = load_batched_pie(args.resume)
+    load_s = time.time() - t0
+    z = np.load(args.resume + ".client.npz")
+    idx_ct = Ciphertext(jnp.asarray(z["idx"]))
+    minus_ct = Ciphertext(jnp.asarray(z["minus"]))
+    sk = SecretKey(jnp.asarray(z["s_mont"]), jnp.asarray(z["s_ntt"]))
+    t0 = time.time()
+    out = pie.run(idx_ct, minus_ct)
+    out.data.block_until_ready()
+    q_s = time.time() - t0
+    t0 = time.time()
+    slots, noise = pie.ctx.decrypt(out, sk, length=pie.batch_slots)
+    dec_s = time.time() - t0
+    ops = BatchedFHEClientOps(
+        pie.ctx,
+        types.SimpleNamespace(table=z["client_table"]),
+        0, pie.H, pie.P,
+    )
+    got = {tuple(r) for r in ops.extract_intersection(np.asarray(slots)).tolist()}
+    want = {tuple(r) for r in z["expected"].tolist()}
+    ok = got == want
+    print(
+        f"RESUME RESULT: {'Set matches!' if ok else 'MISMATCH'} "
+        f"(load {load_s:.1f}s, online query {q_s:.1f}s, decrypt {dec_s:.1f}s, "
+        f"noise {noise:.0f} bits, |intersection| {len(got)})"
+    )
+    assert ok
+    return 0
 
 
 if __name__ == "__main__":

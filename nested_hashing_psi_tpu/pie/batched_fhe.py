@@ -261,23 +261,29 @@ class BatchedFHEPIE:
         table = hct.table
         S, O = table.shape[0], table.shape[1]
         perm = np.argsort(rng.random((S, O, self.H, self.D)), axis=-1)
-        table = np.take_along_axis(table, perm[..., None, None], axis=3)
-
-        vals = table[..., 0]  # (S, O, H, D, P); FHE items are < t (<= 48 bits)
         if table[..., 1].any():
             raise ValueError("FHE paths support items below 64 bits only")
-        # -> slot-major: (H, D, P, batch = S*O)
-        slots = vals.transpose(2, 3, 4, 0, 1).reshape(self.H, self.D, self.P, -1)
+        vals = np.take_along_axis(
+            table[..., 0], perm[..., None], axis=3
+        )  # (S, O, H, D, P); FHE items are < t (<= 48 bits)
+        del perm
+        # -> slot-major: (H, D, P, batch = S*O), uint64 throughout -- the
+        # whole-table object conversion the pre-r5 code did here held ~30 GB
+        # of PyObjects at the 2^28 row-24 geometry; mask folding now happens
+        # per encode slab instead.
+        slots = np.ascontiguousarray(
+            vals.transpose(2, 3, 4, 0, 1)
+        ).reshape(self.H, self.D, self.P, -1)
+        del vals
 
         # Per-depth random nonzero masks (cpp:73-82), FOLDED into hash
         # function 0's table slots (see combine_ip's mask-folding note):
-        # slot-wise mod-t products, done once offline. mask_pt is kept for
-        # the per-depth masked minus-element ct x pt.
+        # slot-wise mod-t products, applied slab-by-slab below. mask_pt is
+        # kept for the per-depth masked minus-element ct x pt.
         mask_vals = rng.integers(1, ctx.t, size=(self.D, self.batch_slots))
         t_obj = int(ctx.t)
-        slots = slots.astype(object)
-        slots[0] = slots[0] * mask_vals[:, None, :].astype(object) % t_obj
-        self.mask_pt = ctx.make_plaintext_mont(mask_vals.astype(object))
+        mask_obj = mask_vals.astype(object)
+        self.mask_pt = ctx.make_plaintext_mont(mask_obj)
 
         # Batched packed-encode the whole table -> Montgomery NTT tensor,
         # in bounded slabs (a single object-dtype view of a 2^28-scale table
@@ -288,9 +294,16 @@ class BatchedFHEPIE:
         self.host_table = host_table
         flat = slots.reshape(self.H * self.D * self.P, self.batch_slots)
         n_polys = flat.shape[0]
+        DP = self.D * self.P
         slabs = []
         for s in range(0, n_polys, encode_slab):
-            pt = ctx.make_plaintext_mont(flat[s : s + encode_slab].astype(object))
+            chunk = flat[s : s + encode_slab].astype(object)
+            # fold the depth-d mask into every hash-0 row of this slab
+            # (row r -> (h, d, p) = divmod chain; h == 0 iff r < D*P)
+            hi = min(s + len(chunk), DP)
+            for r in range(s, hi):
+                chunk[r - s] = chunk[r - s] * mask_obj[r // self.P] % t_obj
+            pt = ctx.make_plaintext_mont(chunk)
             slabs.append(np.asarray(pt) if host_table else pt)
         cat = np.concatenate if host_table else jnp.concatenate
         pt = slabs[0] if len(slabs) == 1 else cat(slabs, axis=0)
