@@ -234,10 +234,82 @@ def hps_parts():
         print(f"{name:>22}: {_ms(f, a):7.2f} ms", flush=True)
 
 
+def capture_trace(outdir: str = "eval_results/trace_online"):
+    """Capture a jax.profiler trace of the production online step + the
+    on-device client decrypt (VERDICT r4 item 9) and print the device-time
+    table aggregated from the trace events -- the cross-check for the
+    op-count attribution in utils.profiling.batched_pie_op_counts.
+    Invoke with: python benchmarks/profile_online.py trace"""
+    import glob
+    import gzip
+    import json
+
+    from __graft_entry__ import _build_small_pie
+    from nested_hashing_psi_tpu.fhe.device_decrypt import DeviceDecryptor
+    from nested_hashing_psi_tpu.fhe.params import bfv_batched_client_limbs
+    from nested_hashing_psi_tpu.pie.batched_fhe import batched_pie_forward
+
+    H, D, P, simple = 2, 12, 12, 8022
+    t = (1 << 32) + (1 << 20) + (1 << 19) + 1
+    L = bfv_batched_client_limbs(t.bit_length(), P, H)
+    ctx, sk, rlk, pie, ops, idx_ct, minus_ct = _build_small_pie(
+        ring=1 << 14, limbs=L, H=H, P=P, D=D, simple=simple, t=t, scheme="bfv"
+    )
+    use_kernel = jax.default_backend() == "tpu"
+    L_ship = pie.ship_limbs or ctx.L
+    sctx = ctx.context_for_limbs(L_ship) if L_ship < ctx.L else ctx
+    ssk = ctx.shrink_key_to(sk, L_ship)
+    dec = DeviceDecryptor(sctx)
+
+    def tokd(x, token):
+        return jax.lax.optimization_barrier((x, token))[0]
+
+    @jax.jit
+    def step(idx, minus, table, mask, rk, s_mont, token):
+        out = batched_pie_forward(
+            ctx, rk, tokd(idx, token), minus, table, mask,
+            use_kernel=use_kernel,
+            mul_limbs=pie.mul_limbs, ship_limbs=pie.ship_limbs,
+        )
+        lo, hi = dec._slots_impl(out.data, s_mont)
+        return ((lo == 0) & (hi == 0)).any(axis=0)
+
+    args = (idx_ct.data, minus_ct.data, pie.table_pt, pie.mask_pt, rlk,
+            ssk.s_mont)
+    o = step(*args, jnp.uint32(0))
+    _sync(o)
+    os.makedirs(outdir, exist_ok=True)
+    with jax.profiler.trace(outdir):
+        for _ in range(8):
+            o = step(*args, o.ravel()[0].astype(jnp.uint32))
+        _sync(o)
+    print(f"trace written to {outdir}", flush=True)
+
+    # aggregate device-side event durations from the perfetto trace
+    files = sorted(glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
+                             recursive=True))
+    if not files:
+        print("no trace.json.gz produced (profiler unsupported here?)")
+        return
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    durs: dict = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev:
+            name = ev.get("name", "?")
+            durs[name] = durs.get(name, 0.0) + ev["dur"] / 1e3
+    print(f"top device/trace events by total ms over 8 steps "
+          f"({files[-1].split('/')[-1]}):")
+    for name, ms in sorted(durs.items(), key=lambda kv: -kv[1])[:24]:
+        print(f"  {ms:9.2f} ms  {name[:90]}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "hps":
         import jax.numpy as jnp
 
         hps_parts()
+    elif len(sys.argv) > 1 and sys.argv[1] == "trace":
+        capture_trace()
     else:
         main()

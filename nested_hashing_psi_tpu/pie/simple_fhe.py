@@ -248,7 +248,12 @@ class SimpleFHEClientOps:
         position matches iff any (hf, bin) is 0."""
         from nested_hashing_psi_tpu.pie.batched_fhe import _zero_slots
 
-        matched = _zero_slots(result_slots).any(axis=(1, 2))
+        return self.extract_intersection_mask(_zero_slots(result_slots))
+
+    def extract_intersection_mask(self, zero_mask: np.ndarray) -> np.ndarray:
+        """Same extraction from a precomputed (nPies, H, max_pp) zero mask
+        (the on-device decrypt path's artifact)."""
+        matched = np.asarray(zero_mask, dtype=bool).any(axis=(1, 2))
         items = self._slot_items()
         occupied = (items != 0).any(axis=1)
         return items[matched & occupied]

@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
@@ -117,20 +118,45 @@ class SimpleFHEPSIClient(PSIClientBase):
         # (nPies*H)-row stack would stack on top of the server's resident
         # table at sweep geometries (shared chip in loopback runs)
         chunk = max(1, (1 << 29) // (2 * self.ctx.L * self.ctx.n * 4))
+        maxpp = self.ht.max_items_per_position
+        if self.ctx.default_form == "bfv" and jax.default_backend() == "tpu":
+            # fully on-device decrypt to the per-slot zero mask: the host
+            # CRT path fetches the whole phase stack (~2.5 GB at row-0
+            # geometry -- unusable through this sandbox's ~1 MB/s relay);
+            # here each chunk ships only (rows, maxPP) booleans.
+            from nested_hashing_psi_tpu.fhe.device_decrypt import DeviceDecryptor
+
+            dec = DeviceDecryptor(self.ctx)
+            parts = []
+            for s in range(0, flat_data.shape[0], chunk):
+                parts.append(
+                    np.asarray(
+                        dec.zero_mask(
+                            flat_data[s : s + chunk], self.sk.s_mont,
+                            length=maxpp,
+                        )
+                    )
+                )
+            zero = np.concatenate(parts, axis=0).reshape(
+                n_pies, self.ht.n_cuckoo_hash_functions, maxpp
+            )
+            self.noise_bits = None
+            self.intersection_calculated = (
+                self.client_ops.extract_intersection_mask(zero)
+            )
+            return
         slot_parts, noise = [], 0.0
         for s in range(0, flat_data.shape[0], chunk):
             part = Ciphertext(
                 flat_data[s : s + chunk], self.ctx.default_form, 1
             )
-            sl, nz = self.ctx.decrypt(
-                part, self.sk, length=self.ht.max_items_per_position
-            )
+            sl, nz = self.ctx.decrypt(part, self.sk, length=maxpp)
             slot_parts.append(np.asarray(sl))
             noise = max(noise, nz)
         slots = np.concatenate(slot_parts, axis=0)
         self.noise_bits = noise
         slots = np.asarray(slots).reshape(
-            n_pies, self.ht.n_cuckoo_hash_functions, self.ht.max_items_per_position
+            n_pies, self.ht.n_cuckoo_hash_functions, maxpp
         )
         self.intersection_calculated = self.client_ops.extract_intersection(slots)
 
