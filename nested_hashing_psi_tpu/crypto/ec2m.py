@@ -104,7 +104,14 @@ class BinaryEcGroup:
         self.order = order
         if not self.is_on_curve(self.g):
             raise ValueError(f"{name}: generator not on curve")
-        self._g_table = self._build_fixed_base_table(self.g)
+        # native PCLMUL batch backend (native/nhpsi_ec2m.cpp): same affine
+        # group law, identical results; None -> pure Python
+        from nested_hashing_psi_tpu.utils import native_ec2m
+
+        self._native = native_ec2m.for_curve(m, red, self.a, self.b)
+        self._g_table = (
+            None if self._native else self._build_fixed_base_table(self.g)
+        )
 
     # -- GF(2^m) field arithmetic --------------------------------------------
     def _freduce(self, v: int) -> int:
@@ -187,12 +194,53 @@ class BinaryEcGroup:
         k %= self.order
         if k == 0 or A is None:
             return None
+        if self._native:
+            return self._native.mul_batch([A], [k], shared=True)[0]
         R = None
         for bit in bin(k)[2:]:
             R = self.add(R, R)
             if bit == "1":
                 R = self.add(R, A)
         return R
+
+    # -- batch API (native when available; same results as the loops) -------
+    def mul_batch(self, points, scalars):
+        ks = [k % self.order for k in scalars]
+        if self._native:
+            return self._native.mul_batch(points, ks, shared=False)
+        return [self.mul(P, k) for P, k in zip(points, ks)]
+
+    def mul_many(self, A, scalars):
+        ks = [k % self.order for k in scalars]
+        if self._native:
+            return self._native.mul_batch([A], ks, shared=True)
+        return [self.mul(A, k) for k in ks]
+
+    def mul_gen_batch(self, scalars):
+        ks = [k % self.order for k in scalars]
+        if self._native:
+            return self._native.mul_batch([self.g], ks, shared=True)
+        return [self.mul_gen(k) for k in ks]
+
+    def multi_mul_groups(self, points, scalars, n_groups: int, k: int):
+        ks = [s % self.order for s in scalars]
+        if self._native:
+            return self._native.multi_mul_groups(list(points), ks, n_groups, k)
+        return [
+            self.multi_mul(points[g * k : (g + 1) * k], ks[g * k : (g + 1) * k])
+            for g in range(n_groups)
+        ]
+
+    def sum_groups(self, points, n_groups: int, k: int):
+        if self._native:
+            return self._native.sum_groups(list(points), n_groups, k)
+        out = []
+        for g in range(n_groups):
+            acc = None
+            for P in points[g * k : (g + 1) * k]:
+                acc = self.add(acc, P)
+            out.append(acc)
+        return out
 
     def _build_fixed_base_table(self, base):
         nwin = (self.order.bit_length() + 3) // 4
@@ -213,6 +261,8 @@ class BinaryEcGroup:
         k %= self.order
         if k == 0:
             return None
+        if self._native:
+            return self._native.mul_batch([self.g], [k], shared=True)[0]
         R = None
         i = 0
         while k:

@@ -104,3 +104,43 @@ def test_simple_elgamal_e2e_binary_curve():
     client, _, ok = run_in_process(params, ht)
     assert ok
     assert len(client.intersection_calculated) == 2
+
+
+def test_native_binary_matches_python():
+    """Native PCLMUL backend (nhpsi_ec2m.cpp) vs the pure-Python group law:
+    identical affine results for every batch entry point."""
+    import random
+
+    import pytest
+
+    from nested_hashing_psi_tpu.utils import native_ec2m
+
+    if native_ec2m.get_lib() is None:
+        pytest.skip("native binary EC backend unavailable")
+
+    for curve in ["B-163", "K-233", "B-283", "K-571"]:
+        g = BinaryEcGroup(curve)
+        assert g._native is not None, curve
+        py = BinaryEcGroup(curve)
+        py._native = None
+        py._g_table = py._build_fixed_base_table(py.g)
+
+        rng = random.Random(99)
+        ks = [rng.randrange(0, g.order) for _ in range(5)] + [0, 1, g.order - 1]
+        pts = [py.mul_gen(k + 3) for k in range(4)]
+
+        for k in ks:
+            assert g.mul(g.g, k) == py.mul(py.g, k), (curve, k)
+            assert g.mul_gen(k) == py.mul_gen(k), (curve, k)
+        assert g.mul_many(pts[0], ks) == [py.mul(pts[0], k) for k in ks]
+        assert g.mul_batch(pts, ks[:4]) == [
+            py.mul(P, k) for P, k in zip(pts, ks[:4])
+        ]
+        assert g.mul_gen_batch(ks) == [py.mul_gen(k) for k in ks]
+        flat_p = pts * 2
+        flat_s = (ks[:4] + ks[:4])[: len(flat_p)]
+        assert g.multi_mul_groups(flat_p, flat_s, 2, 4) == [
+            py.multi_mul(flat_p[:4], flat_s[:4]),
+            py.multi_mul(flat_p[4:], flat_s[4:]),
+        ]
+        assert g.sum_groups(flat_p, 2, 4) == py.sum_groups(flat_p, 2, 4)
