@@ -76,7 +76,18 @@ class SimpleFHEPIE:
             axis=-1,
         )
         flat = rows.reshape(-1, self.P + 1)
-        pt = ctx.make_plaintext_mont(flat)
+        # encode in bounded slabs: a single program over all nPies*H*B polys
+        # allocates the whole (rows, L, n) tensor twice on device (9.7 GB at
+        # sweep row 0) and OOMs HBM. Tables beyond ~6 GB stay HOST-resident;
+        # run()'s chunk loop uploads slices (same pattern as the batched PIE).
+        table_bytes = flat.shape[0] * ctx.L * ctx.n * 4
+        self.host_table = table_bytes > (6 << 30)
+        slabs = []
+        for s0 in range(0, flat.shape[0], 2048):
+            pt = ctx.make_plaintext_mont(flat[s0 : s0 + 2048])
+            slabs.append(np.asarray(pt) if self.host_table else pt)
+        cat = np.concatenate if self.host_table else jnp.concatenate
+        pt = slabs[0] if len(slabs) == 1 else cat(slabs, axis=0)
         self.table_pt = pt.reshape(self.n_pies, self.H, self.B, ctx.L, ctx.n)
 
         # one-hot slot selectors e_b (merge masks) and per-(pie,hf) random
@@ -123,7 +134,7 @@ class SimpleFHEPIE:
             else max(1, min(pie_chunk, self.n_pies))
         )
         hf_perm = jnp.asarray(self.hf_perm)
-        if c >= self.n_pies:
+        if c >= self.n_pies and not self.host_table:
             return self._run(
                 index_cts, self.table_pt, self.sel_pt, self.mask_pt,
                 hf_perm, self.gks,
