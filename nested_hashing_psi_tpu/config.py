@@ -36,9 +36,13 @@ class PSIParams:
     # and online-upload streaming: >1 splits the batched index matrix into
     # chunks so the server overlaps receive with compute (the reference's
     # SimpleFHEPSIServer.cpp:128-153 overlap, generalized).
+    # num_queries > 1 ships Q independent query transactions in ONE online
+    # exchange; the server answers them in one batched device dispatch
+    # (BatchedFHEPIE.run_many) -- the production-serving throughput path.
     ring_dim: int = 16384
     num_limbs: int | None = None
     stream_chunks: int = 1
+    num_queries: int = 1
 
 
 @dataclass(frozen=True)
@@ -92,6 +96,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="split the online index upload into N chunks (overlaps server "
         "receive with compute)",
     )
+    ap.add_argument(
+        "--queries", type=int, default=1,
+        help="batched-FHE: ship N query transactions in one online exchange; "
+        "the server answers them in one batched device dispatch",
+    )
     return ap
 
 
@@ -116,6 +125,7 @@ def params_from_args(args: argparse.Namespace) -> tuple[PSIParams, HashTablePara
         ring_dim=args.ringDim,
         num_limbs=args.numLimbs,
         stream_chunks=args.streamChunks,
+        num_queries=args.queries,
     )
     ht = HashTableParams(
         each_simple_table_size=args.eachSimpleTableSize,

@@ -395,6 +395,11 @@ class BatchedFHEPIE:
         (VERDICT r4 item 1). Per-query results are identical to run()."""
         if self._run_many is None:
             use_kernel = jax.default_backend() == "tpu"
+            if self.leveled:
+                # drop-limb chain constants must exist before tracing
+                c = self.ctx
+                for _ in range(self.H - 1):
+                    c = c.drop_limb_context()
 
             # table/mask/keys enter as jit ARGUMENTS of `many` (the mapped
             # body captures their tracers -- same trace, not baked literals)

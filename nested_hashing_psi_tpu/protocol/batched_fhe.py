@@ -153,6 +153,8 @@ class BatchedFHEPSIClient(PSIClientBase):
         return n
 
     def run_online_phase(self) -> None:
+        if self.params.num_queries > 1:
+            return self._run_online_many(self.params.num_queries)
         self.channel.write_tensor(self.minus_ct.data)
         n_chunks = self._effective_chunks()
         self.channel.write_tensor(np.array([n_chunks], np.uint64))
@@ -198,6 +200,44 @@ class BatchedFHEPSIClient(PSIClientBase):
             self.intersection_calculated = self.client_ops.extract_intersection(
                 np.asarray(slots)
             )
+
+    def _run_online_many(self, Q: int) -> None:
+        """Multi-query transaction (--queries Q): Q query ciphertext sets in
+        ONE exchange, answered by the server's single batched dispatch
+        (BatchedFHEPIE.run_many). Framework extension for serving throughput
+        -- per-query results are bit-identical to Q separate exchanges; the
+        client verifies every query's zero mask agrees before extracting."""
+        minus_b = jnp.stack([self.minus_ct.data] * Q)
+        idx_b = jnp.stack([self.idx_ct.data] * Q)
+        self.channel.write_tensor(minus_b)
+        self.channel.write_tensor(idx_b)
+        meta = self.channel.read_tensor()
+        form = "bgv" if int(meta[0]) else "bfv"
+        result = Ciphertext(
+            jnp.asarray(self.channel.read_tensor()), form, int(meta[1])
+        )  # (Q, D, 2, L', N)
+        n_limbs = result.data.shape[-2]
+        dctx = self.ctx.context_for_limbs(n_limbs)
+        dsk = self.ctx.shrink_key_to(self.sk, n_limbs)
+        if result.form == "bfv" and jax.default_backend() == "tpu":
+            from nested_hashing_psi_tpu.fhe.device_decrypt import DeviceDecryptor
+
+            dec = DeviceDecryptor(dctx)
+            masks = np.asarray(
+                dec.zero_mask(result.data, dsk.s_mont, length=self.ht.batch_slots)
+            )  # (Q, D, batch)
+            self.noise_bits = None
+        else:
+            slots, self.noise_bits = dctx.decrypt(
+                result, dsk, length=self.ht.batch_slots
+            )
+            masks = np.asarray(slots, dtype=object) == 0
+        per_q = masks.any(axis=1)  # (Q, batch)
+        if not (per_q == per_q[0]).all():
+            raise ValueError("multi-query results disagree across the batch")
+        self.intersection_calculated = self.client_ops.extract_intersection_mask(
+            per_q[0]
+        )
 
 
 class BatchedFHEPSIServer(PSIServerBase):
@@ -253,7 +293,10 @@ class BatchedFHEPSIServer(PSIServerBase):
         self.offline_computation_us = (time.monotonic_ns() - begin) // 1000
 
     def run_online_phase(self) -> None:
-        minus = Ciphertext(jnp.asarray(self.channel.read_tensor()))
+        minus_raw = self.channel.read_tensor()
+        if minus_raw.ndim == 4:  # (Q, 2, L, N): multi-query transaction
+            return self._run_online_many(minus_raw)
+        minus = Ciphertext(jnp.asarray(minus_raw))
         n_chunks = int(self.channel.read_tensor()[0])
         P = self.ht.each_cuckoo_table_size
         # wire value is untrusted: a non-divisor would mis-slice the table
@@ -285,5 +328,28 @@ class BatchedFHEPSIServer(PSIServerBase):
             np.array([1 if result.form == "bgv" else 0, result.scale], np.uint64)
         )
         self.channel.write_tensor(result.data)
+        if self.params.export_performance:
+            self.export_measurements()
+
+    def _run_online_many(self, minus_raw) -> None:
+        """Serve a (Q, ...) multi-query transaction in one batched dispatch."""
+        Q = minus_raw.shape[0]
+        # resource-bound the untrusted batch size (one query's working set
+        # times Q must stay schedulable)
+        if not (2 <= Q <= 1024):
+            raise ValueError(f"multi-query batch size {Q} outside [2, 1024]")
+        idx_b = jnp.asarray(self.channel.read_tensor())
+        if idx_b.ndim != 6 or idx_b.shape[0] != Q:
+            raise ValueError(
+                f"multi-query index tensor shape {idx_b.shape} does not "
+                f"match batch size {Q}"
+            )
+        begin = time.monotonic_ns()
+        out = self.pie.run_many(idx_b, jnp.asarray(minus_raw))
+        out.block_until_ready()
+        self.online_computation_us = (time.monotonic_ns() - begin) // 1000
+        form = self.ctx.default_form  # combine_ip keeps the native form, scale 1
+        self.channel.write_tensor(np.array([1 if form == "bgv" else 0, 1], np.uint64))
+        self.channel.write_tensor(out)
         if self.params.export_performance:
             self.export_measurements()

@@ -135,3 +135,23 @@ def test_batched_fhe_e2e_big_t_ring16384(bit_size):
     assert client.noise_bits < budget - 20, (
         f"noise {client.noise_bits} too close to budget {budget}"
     )
+
+
+def test_batched_fhe_multi_query_transaction():
+    """--queries Q ships Q query sets in one exchange; server answers with
+    ONE batched dispatch (run_many) and results still self-verify."""
+    from nested_hashing_psi_tpu.config import HashTableParams, PSIParams
+    from nested_hashing_psi_tpu.protocol.runner import run_in_process
+
+    psi = PSIParams(
+        server_set_size=300, client_set_size=12, intersection_set_size=5,
+        bit_size=16, fhe=True, batched=True, ring_dim=128, num_limbs=8,
+        num_queries=3,
+    )
+    ht = HashTableParams(
+        each_simple_table_size=32, each_cuckoo_table_size=12,
+        n_simple_hash_functions=2, n_cuckoo_hash_functions=2,
+        max_items_per_position=4,
+    )
+    client, server, ok = run_in_process(psi, ht)
+    assert ok
