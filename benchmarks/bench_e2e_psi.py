@@ -50,6 +50,10 @@ def main():
     )
     ap.add_argument("--intersection", type=int, default=0)
     ap.add_argument(
+        "--perf", action="store_true",
+        help="export reference-schema measurement CSVs to eval_results/",
+    )
+    ap.add_argument(
         "--resume", default=None,
         help="FRESH-PROCESS resume: skip build entirely, load the PIE from "
         "this checkpoint plus its .client.npz sidecar (written by "
@@ -88,6 +92,7 @@ def main():
         bgv=args.bgv,
         stream_chunks=args.streamChunks,
         verbose=True,
+        export_performance=args.perf,
     )
     ht = HashTableParams(
         each_simple_table_size=simple_size,
@@ -101,7 +106,7 @@ def main():
         f"simpleSize={simple_size} (batch {ht.batch_slots}), inner {inner}x{inner}"
     )
     t0 = time.time()
-    client, server, ok = run_in_process(psi, ht)
+    client, server, ok = run_in_process(psi, ht, export_dir="eval_results")
     total = time.time() - t0
     m = client.measurements
     print(f"RESULT: {'Set matches!' if ok else 'MISMATCH'}")

@@ -104,13 +104,18 @@ class SimpleFHEPIE:
 
         self._run = None
 
-    # device-memory budget for the (chunk, H, B, 2, L, N) product tensor of
-    # one chunk (the largest intermediate of _run_impl; the EvalSum ladder
-    # keeps peak memory a small multiple of it)
+    # device-memory budget for one chunk's working set. The dominant
+    # intermediate is NOT the (chunk, H, B, 2, L, N) product tensor but the
+    # EvalSum ladder's key-switch gadget decompose, which fans that block
+    # out by ~L digit planes -- budgeting the product alone OOM'd HBM at
+    # sweep row 0 with the host-resident table.
     CHUNK_BYTES = 1 << 30
 
     def _pie_chunk(self) -> int:
-        per_pie = self.H * self.B * 2 * self.ctx.L * self.ctx.n * 4
+        per_pie = (
+            self.H * self.B * 2 * self.ctx.L * self.ctx.n * 4
+            * (self.ctx.L + 2)
+        )
         return max(1, min(self.n_pies, self.CHUNK_BYTES // per_pie))
 
     def run(self, index_cts: Ciphertext, pie_chunk: int | None = None) -> Ciphertext:
