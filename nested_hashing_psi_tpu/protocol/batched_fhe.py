@@ -274,9 +274,12 @@ class BatchedFHEPSIServer(PSIServerBase):
         begin = time.monotonic_ns()
         self.server_table.insert_all(self.server_set)
         ht, ctx = self.ht, self.ctx
-        # beyond-HBM packed tables (17.7 GB at the Parameters1.txt
-        # 2^28 x 2048 row) stay host-resident; the online step streams
-        # position slices to the device (BatchedFHEPIE._run_host_table)
+        # large packed tables stay host-resident and the online step streams
+        # position slices to the device (BatchedFHEPIE._run_host_table).
+        # Threshold: the online combine stage's HPS transients peak at a few
+        # GB on top of the table + index cts, and a 6.8 GB device-resident
+        # table OOM'd the 16 GB HBM at the 2^24 x 128 sweep row -- so
+        # anything past ~5 GB streams.
         table_bytes = (
             ht.n_cuckoo_hash_functions * ht.max_items_per_position
             * ht.each_cuckoo_table_size * ctx.L * ctx.n * 4
@@ -288,7 +291,7 @@ class BatchedFHEPSIServer(PSIServerBase):
             leveled=leveled_default(
                 ctx.params.scheme, ctx.t, ht.n_cuckoo_hash_functions
             ),
-            host_table=table_bytes > (12 << 30),
+            host_table=table_bytes > (5 << 30),
         )
         self.offline_computation_us = (time.monotonic_ns() - begin) // 1000
 
