@@ -54,6 +54,12 @@ def main():
         help="export reference-schema measurement CSVs to eval_results/",
     )
     ap.add_argument(
+        "--saveOnly", action="store_true",
+        help="with --checkpoint: write the artifact + sidecar and skip the "
+        "same-process reload/re-verify (a fresh-process --resume is the "
+        "stronger check and avoids holding two table-size PIEs in RAM)",
+    )
+    ap.add_argument(
         "--resume", default=None,
         help="FRESH-PROCESS resume: skip build entirely, load the PIE from "
         "this checkpoint plus its .client.npz sidecar (written by "
@@ -154,6 +160,13 @@ def main():
             client_table=np.asarray(client.client_table.table),
             expected=np.asarray(client.data.get_intersection_set()),
         )
+        if args.saveOnly:
+            print(
+                f"checkpoint: save {save_s:.1f}s ({size_mb:.0f} MB), "
+                f"same-process re-verify skipped (--saveOnly; run --resume "
+                f"in a fresh process)"
+            )
+            return
         t0 = time.time()
         resumed = load_batched_pie(args.checkpoint)  # file only: ctx+rlk inside
         load_s = time.time() - t0
