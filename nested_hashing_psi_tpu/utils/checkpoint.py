@@ -20,9 +20,15 @@ FORMAT_VERSION = 3
 
 
 def save_batched_pie(path: str, pie) -> None:
-    """Persist a BatchedFHEPIE's offline products + scheme params + keys."""
+    """Persist a BatchedFHEPIE's offline products + scheme params + keys.
+
+    Uncompressed on purpose: table_pt is NTT-domain residues (high-entropy,
+    zlib gains ~nothing) and the flagship artifact is ~18 GB -- compressed
+    save/load costs 10+ minutes of single-threaded zlib each way vs ~disk
+    speed uncompressed. np.load reads both formats, so older compressed
+    files stay loadable."""
     sp = pie.ctx.params
-    np.savez_compressed(
+    np.savez(
         path,
         version=FORMAT_VERSION,
         table_pt=np.asarray(pie.table_pt),
