@@ -54,6 +54,15 @@ def main():
         help="export reference-schema measurement CSVs to eval_results/",
     )
     ap.add_argument(
+        "--buildOnly", action="store_true",
+        help="with --checkpoint: run only the Setup+Offline phases of the "
+        "protocol pair (table build + encode + client query encryption), "
+        "save the v3 artifact + sidecar and exit WITHOUT the online phase "
+        "-- the fresh-process --resume then performs the online query and "
+        "verification. Avoids paying the large online-program compile "
+        "twice at flagship scale.",
+    )
+    ap.add_argument(
         "--saveOnly", action="store_true",
         help="with --checkpoint: write the artifact + sidecar and skip the "
         "same-process reload/re-verify (a fresh-process --resume is the "
@@ -111,6 +120,9 @@ def main():
         f"server 2^{args.server_log2}, client 2^{args.client_log2}, "
         f"simpleSize={simple_size} (batch {ht.batch_slots}), inner {inner}x{inner}"
     )
+    if args.buildOnly:
+        return build_only_main(args, psi, ht)
+
     t0 = time.time()
     client, server, ok = run_in_process(psi, ht, export_dir="eval_results")
     total = time.time() - t0
@@ -181,6 +193,79 @@ def main():
             f"{'bit-exact' if match else 'MISMATCH'} ({q_s:.1f}s for both runs)"
         )
         assert match
+
+
+def build_only_main(args, psi, ht):
+    """Setup+Offline only: build the server artifact + client query, persist
+    the v3 checkpoint + sidecar, exit. The online query (and its large
+    program compile) runs once, in the fresh-process --resume."""
+    import threading
+
+    import numpy as np
+
+    from nested_hashing_psi_tpu.data.input import RandomDataInput
+    from nested_hashing_psi_tpu.protocol.channel import LoopbackChannel
+    from nested_hashing_psi_tpu.protocol.runner import make_protocol_pair
+    from nested_hashing_psi_tpu.utils.checkpoint import save_batched_pie
+
+    assert args.checkpoint, "--buildOnly requires --checkpoint"
+    client_cls, server_cls = make_protocol_pair("BatchedFHE")
+
+    def factory():
+        return RandomDataInput(
+            psi.server_set_size,
+            psi.client_set_size,
+            psi.intersection_set_size,
+            psi.item_seed,
+            psi.bit_size,
+        )
+
+    ch_client, ch_server = LoopbackChannel.pair(pass_device_arrays=True)
+    client = client_cls(factory(), psi, ht, ch_client)
+    server = server_cls(factory(), psi, ht, ch_server)
+    errors: list = []
+
+    def server_run():
+        try:
+            server.run_setup_phase()
+            server._signal_phase_over()
+            server.run_offline_phase()
+            server._signal_phase_over()
+        except BaseException as e:
+            errors.append(e)
+            ch_server.poison()
+
+    th = threading.Thread(target=server_run, daemon=True)
+    t0 = time.time()
+    th.start()
+    client.run_setup_phase()
+    client._read_phase_over()
+    print(f"setup done {time.time() - t0:.1f}s", flush=True)
+    t1 = time.time()
+    client.run_offline_phase()
+    client._read_phase_over()
+    th.join()
+    if errors:
+        raise errors[0]
+    print(f"offline done {time.time() - t1:.1f}s", flush=True)
+    t1 = time.time()
+    save_batched_pie(args.checkpoint, server.pie)
+    np.savez_compressed(
+        args.checkpoint + ".client.npz",
+        idx=np.asarray(client.idx_ct.data),
+        minus=np.asarray(client.minus_ct.data),
+        s_mont=np.asarray(client.sk.s_mont),
+        s_ntt=np.asarray(client.sk.s_ntt),
+        client_table=np.asarray(client.client_table.table),
+        expected=np.asarray(client.data.get_intersection_set()),
+    )
+    size_gb = os.path.getsize(args.checkpoint) / 1e9
+    print(
+        f"checkpoint saved {time.time() - t1:.1f}s ({size_gb:.1f} GB v3 + "
+        f"client sidecar) -- verify with --resume in a fresh process",
+        flush=True,
+    )
+    return 0
 
 
 def resume_main(args):
